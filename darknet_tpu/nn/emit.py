@@ -1,0 +1,183 @@
+"""Graph IR -> executable JAX forward function.
+
+Where the reference interprets the layer array per step
+(`network.cpp:101-127` ForwardNetwork), we close over the IR and emit one
+Python function whose single trace becomes one XLA program: static shapes,
+no per-layer dispatch at runtime, full cross-layer fusion.
+
+The emitted function keeps only the intermediate outputs that later layers
+reference (liveness analysis over route/shortcut/scale_channels edges); XLA
+frees the rest during execution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.ops import shapes as shapeops
+from darknet_tpu.ops import yolo as yoloops
+from darknet_tpu.ops.activations import apply_activation
+from darknet_tpu.ops.conv import (batchnorm_block, connected_block, conv_block)
+from darknet_tpu.ops.pooling import global_avgpool, maxpool_block
+
+
+def _liveness(graph) -> set:
+    """Indices whose outputs are consumed by a non-adjacent later layer."""
+    live = set()
+    for i, l in enumerate(graph.layers):
+        for s in l.input_indices():
+            live.add(s)
+    # head outputs are returned
+    for l in graph.layers:
+        if l.kind in ("yolo", "gaussian_yolo", "detection", "cost"):
+            live.add(l.index)
+    if graph.layers:
+        live.add(len(graph.layers) - 1)
+    return live
+
+
+def local_block(x, p, l):
+    """[local] locally-connected layer (local_layer.c): per-position conv
+    weights.  Patches via XLA's patch extractor, then a per-location
+    contraction."""
+    from jax import lax
+
+    patches = lax.conv_general_dilated_patches(
+        x, filter_shape=(l.size, l.size),
+        window_strides=(l.stride, l.stride),
+        padding=[(l.pad, l.pad), (l.pad, l.pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, OH, OW, C*size*size) with channel-major patch layout
+    b = x.shape[0]
+    loc = l.out_h * l.out_w
+    patches = patches.reshape(b, loc, -1)
+    # w: (locations, n, size*size*c) — darknet's im2col layout is
+    # (c*size*size) with channel-major too (c, kh, kw)
+    y = jnp.einsum("blk,lnk->bln", patches, jnp.asarray(p["w"]),
+                   preferred_element_type=jnp.float32)
+    # darknet local biases are per output element, CHW (n, oh*ow) order
+    y = y + jnp.asarray(p["b"]).reshape(l.n, loc).T[None]
+    y = apply_activation(y, l.activation)
+    return y.reshape(b, l.out_h, l.out_w, l.n)
+
+
+def make_forward(graph, *, train: bool = False, compute_dtype=None,
+                 fused_bn: bool = False):
+    """Build `forward(params, x, rng=None) -> dict`.
+
+    Returns a dict with:
+      "heads":  list of activated head outputs (NHWC, darknet channel order)
+      "output": final layer's output tensor
+      "bn_stats": {layer_index: (mean, var)} when train
+      "raw_heads": raw (pre-activation) head conv outputs when train
+    """
+    live = _liveness(graph)
+    layers = graph.layers
+    n_dropout = sum(1 for l in layers
+                    if l.kind == "dropout") if train else 0
+
+    def forward(params, x, rng=None):
+        outs: dict[int, jnp.ndarray] = {}
+        bn_stats: dict[int, tuple] = {}
+        heads: list = []
+        raw_heads: list = []
+        cur = x
+        if train and rng is not None and n_dropout:
+            drop_rngs = list(jax.random.split(rng, n_dropout))
+        else:
+            drop_rngs = []
+        drop_i = 0
+
+        for i, l in enumerate(layers):
+            k = l.kind
+            if k == "convolutional":
+                src = l.share_index if l.share_index is not None else i
+                p = params[src]
+                if fused_bn:
+                    # BN already folded into w/b
+                    import dataclasses as _dc
+                    l_eff = _dc.replace(l, batch_normalize=False) \
+                        if l.batch_normalize else l
+                else:
+                    l_eff = l
+                cur, st = conv_block(cur, p, l_eff, train=train,
+                                     compute_dtype=compute_dtype)
+                if st is not None:
+                    bn_stats[i] = st
+            elif k == "connected":
+                cur, st = connected_block(cur, params[i], l, train=train,
+                                          compute_dtype=compute_dtype)
+                cur = cur.reshape(cur.shape[0], 1, 1, -1)
+                if st is not None:
+                    bn_stats[i] = st
+            elif k == "batchnorm":
+                cur, st = batchnorm_block(cur, params[i], l, train=train)
+                if st is not None:
+                    bn_stats[i] = st
+            elif k == "local":
+                cur = local_block(cur, params[i], l)
+            elif k == "maxpool":
+                cur = maxpool_block(cur, l)
+            elif k == "avgpool":
+                cur = global_avgpool(cur)
+            elif k == "route":
+                cur = shapeops.route([outs[s] for s in l.layers],
+                                     l.groups, l.group_id)
+            elif k == "shortcut":
+                cur = shapeops.shortcut(cur, outs[l.from_layer], l.activation)
+            elif k == "scale_channels":
+                cur = shapeops.scale_channels(
+                    cur, outs[l.from_layer], l.scale_wh, l.activation)
+            elif k == "upsample":
+                cur = shapeops.upsample(cur, l.stride, l.scale)
+            elif k == "reorg":
+                cur = shapeops.reorg3d(cur, l.stride, l.reverse,
+                                       (l.out_h, l.out_w, l.out_c))
+            elif k == "reorg_old":
+                cur = shapeops.reorg_old(cur, l.stride, l.reverse,
+                                         (l.out_h, l.out_w, l.out_c))
+            elif k == "dropout":
+                if train and drop_rngs:
+                    if l.dropblock:
+                        cur = shapeops.dropblock(
+                            cur, drop_rngs[drop_i], l.probability,
+                            l.dropblock_size_abs, l.dropblock_size_rel)
+                    else:
+                        cur = shapeops.dropout(
+                            cur, drop_rngs[drop_i], l.probability)
+                    drop_i += 1
+                # inference: identity (dropout_layer.c:89-93)
+            elif k == "crop":
+                cur = shapeops.crop_layer(cur, l, train=train)
+            elif k == "activation":
+                cur = apply_activation(cur, l.activation)
+            elif k == "yolo":
+                if train:
+                    raw_heads.append(cur)
+                cur = yoloops.yolo_activate(cur, l)
+                heads.append(cur)
+            elif k == "gaussian_yolo":
+                if train:
+                    raw_heads.append(cur)
+                cur = yoloops.gaussian_yolo_activate(cur, l)
+                heads.append(cur)
+            elif k == "detection":
+                # YOLOv1 head: forward is identity at inference
+                cur = cur.reshape(cur.shape[0], 1, 1, -1)
+                heads.append(cur)
+            elif k in ("cost", "empty", "blank"):
+                pass  # identity
+            else:
+                raise NotImplementedError(f"layer kind {k}")
+
+            if i in live:
+                outs[i] = cur
+
+        result = {"heads": heads, "output": cur}
+        if train:
+            result["bn_stats"] = bn_stats
+            result["raw_heads"] = raw_heads
+        return result
+
+    return forward

@@ -1,0 +1,241 @@
+"""Network facade: the public API mirroring `yolo_core.h:625-663`.
+
+    net = Network.from_cfg("yolov4.cfg", weights="yolov4.weights")
+    dets = net.detect(image, thresh=0.25, nms=0.45)
+
+`from_cfg` = LoadNetwork (parse + load weights + fuse BN for inference);
+`predict` = NetworkPredict (jitted forward, cached per input shape);
+`detect`  = NetworkPredict + GetNetworkBoxes + NmsSort + threshold;
+`save_weights` = SaveWeights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.graph.builder import Graph, build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.nn.emit import make_forward
+from darknet_tpu.ops import nms as nmslib
+from darknet_tpu.ops import yolo as yoloops
+from darknet_tpu.weights import io as wio
+
+
+@dataclasses.dataclass
+class Detection:
+    """Mirror of the reference `Detection` struct (box.h:68-85): bbox in
+    relative center-format, per-class probs, objectness, optional gaussian
+    uncertainties."""
+
+    bbox: tuple                 # (x, y, w, h) relative center-format
+    objectness: float
+    prob: np.ndarray            # (classes,)
+    uc: np.ndarray | None = None  # (4,) gaussian sigmas
+
+    @property
+    def best_class(self) -> int:
+        return int(np.argmax(self.prob))
+
+    @property
+    def best_prob(self) -> float:
+        return float(self.prob[self.best_class])
+
+
+def detections_to_json(dets: list, frame_id: int = 0,
+                       names: list | None = None) -> str:
+    """Detection2Json (network.cpp:531-593)."""
+    objects = []
+    for d in dets:
+        for j in np.nonzero(d.prob > 0)[0]:
+            x, y, w, h = d.bbox
+            objects.append({
+                "class_id": int(j),
+                "name": names[j] if names else str(int(j)),
+                "relative_coordinates": {
+                    "center_x": float(x), "center_y": float(y),
+                    "width": float(w), "height": float(h),
+                },
+                "confidence": float(d.prob[j]),
+            })
+    return json.dumps(
+        {"frame_id": frame_id, "objects": objects}, indent=1)
+
+
+class Network:
+    def __init__(self, graph: Graph, params: list, *, fused: bool = False,
+                 train: bool = False, compute_dtype=None, seen: int = 0):
+        self.graph = graph
+        self.net = graph.net
+        self.params = params
+        self.fused = fused
+        self.train = train
+        self.compute_dtype = compute_dtype
+        self.seen = seen
+        self._fwd_cache: dict = {}
+
+    # ---------------------------------------------------------------- load
+    @classmethod
+    def from_cfg(cls, cfg, weights=None, *, train: bool = False,
+                 clear: bool = False, fuse: bool | None = None,
+                 compute_dtype=None, seed: int = 0) -> "Network":
+        """LoadNetwork (parser.cpp:1852-1876): parse cfg, load weights,
+        fuse conv+BN when not training."""
+        graph = build_graph(cfg, train=train)
+        seen = 0
+        if weights is not None:
+            params, seen, _version = wio.load_weights(graph, weights)
+            # fill any layers the file didn't cover (partial backbones)
+            init = paramlib.init_params(graph, seed=seed)
+            params = [p if p else ip for p, ip in zip(params, init)]
+        else:
+            params = paramlib.init_params(graph, seed=seed)
+        if fuse is None:
+            fuse = not train
+        fused = False
+        if fuse:
+            params = paramlib.fuse_conv_batchnorm(graph, params)
+            fused = True
+        if clear:
+            seen = 0
+        return cls(graph, params, fused=fused, train=train,
+                   compute_dtype=compute_dtype, seen=seen)
+
+    @property
+    def curr_iter(self) -> int:
+        return self.seen // max(self.net.optimizer_batch, 1)
+
+    # ------------------------------------------------------------- forward
+    def _forward_fn(self, batch: int, h: int, w: int):
+        key = (batch, h, w, self.train)
+        if key not in self._fwd_cache:
+            fwd = make_forward(
+                self.graph, train=self.train,
+                compute_dtype=self.compute_dtype, fused_bn=self.fused)
+            net_w, net_h = self.net.w, self.net.h
+            heads = self.graph.heads()
+
+            def fwd_and_decode(params, x):
+                r = fwd(params, x)
+                decoded = []
+                for t, l in zip(r["heads"], heads):
+                    if l.kind == "yolo":
+                        boxes, obj, cls = yoloops.yolo_decode(
+                            t, l, net_w, net_h)
+                        uc = None
+                    elif l.kind == "gaussian_yolo":
+                        boxes, obj, cls, uc = yoloops.gaussian_yolo_decode(
+                            t, l, net_w, net_h)
+                    else:
+                        continue
+                    decoded.append((boxes, obj, cls, uc))
+                if decoded:
+                    boxes = jnp.concatenate([d[0] for d in decoded], axis=1)
+                    obj = jnp.concatenate([d[1] for d in decoded], axis=1)
+                    cls = jnp.concatenate([d[2] for d in decoded], axis=1)
+                    ucs = [d[3] for d in decoded]
+                    if all(u is not None for u in ucs) and ucs:
+                        uc = jnp.concatenate(ucs, axis=1)
+                    else:
+                        uc = None
+                    return r["heads"], r["output"], (boxes, obj, cls, uc)
+                return r["heads"], r["output"], None
+
+            self._fwd_cache[key] = jax.jit(fwd_and_decode)
+        return self._fwd_cache[key]
+
+    def _prep_input(self, image) -> np.ndarray:
+        x = np.asarray(image, dtype=np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        if x.shape[1:] != (self.net.h, self.net.w, self.net.c):
+            raise ValueError(
+                f"input must be (H,W,C)=({self.net.h},{self.net.w},"
+                f"{self.net.c}) — got {x.shape[1:]}; resize first "
+                f"(data.image.resize_image_cv) or rebuild the net at the "
+                f"new resolution")
+        return x
+
+    def predict(self, image):
+        """NetworkPredict: returns the final layer output (host numpy)."""
+        x = self._prep_input(image)
+        fn = self._forward_fn(*x.shape[:3])
+        _heads, out, _dec = fn(self.params, x)
+        return np.asarray(out)
+
+    def forward_heads(self, image):
+        x = self._prep_input(image)
+        fn = self._forward_fn(*x.shape[:3])
+        heads, _out, dec = fn(self.params, x)
+        return [np.asarray(h) for h in heads], dec
+
+    # ----------------------------------------------------------- detection
+    def detect(self, image, thresh: float = 0.25, nms: float = 0.45,
+               use_device_nms: bool = False) -> list:
+        """GetNetworkBoxes + NmsSort: detections for ONE image (HWC input,
+        already resized to net dims, RGB [0,1])."""
+        x = self._prep_input(image)
+        assert x.shape[0] == 1, "detect() is single-image; use detect_batch"
+        return self.detect_batch(x, thresh=thresh, nms=nms,
+                                 use_device_nms=use_device_nms)[0]
+
+    def detect_batch(self, images, thresh: float = 0.25, nms: float = 0.45,
+                     use_device_nms: bool = False) -> list:
+        x = self._prep_input(images)
+        fn = self._forward_fn(*x.shape[:3])
+        _heads, _out, dec = fn(self.params, x)
+        if dec is None:
+            return [[] for _ in range(x.shape[0])]
+        boxes, obj, cls, uc = dec
+        boxes = np.asarray(boxes)
+        obj = np.asarray(obj)
+        cls = np.asarray(cls)
+        uc = np.asarray(uc) if uc is not None else None
+
+        # first head's nms config governs (reference uses l.nms_kind of each
+        # head via GetNetworkBoxes -> the CLI passes the last head's kind;
+        # in practice all heads share it)
+        heads = [l for l in self.graph.heads()
+                 if l.kind in ("yolo", "gaussian_yolo")]
+        kind = heads[0].nms_kind if heads else "greedynms"
+        beta = heads[0].beta_nms if heads else 0.6
+
+        results = []
+        for b in range(x.shape[0]):
+            keep = obj[b] > thresh
+            idx = np.nonzero(keep)[0]
+            if idx.size == 0:
+                results.append([])
+                continue
+            bb = boxes[b][idx]
+            oo = obj[b][idx]
+            # prob = obj * cls, thresholded (GetYoloDetections)
+            pp = oo[:, None] * cls[b][idx]
+            pp[pp <= thresh] = 0.0
+            if nms > 0:
+                pp = nmslib.nms_numpy(bb, pp, nms, kind=kind, beta=beta)
+            dets = []
+            for i in range(idx.size):
+                if not np.any(pp[i] > 0):
+                    continue
+                dets.append(Detection(
+                    bbox=tuple(float(v) for v in bb[i]),
+                    objectness=float(oo[i]),
+                    prob=pp[i],
+                    uc=uc[b][idx][i] if uc is not None else None,
+                ))
+            results.append(dets)
+        return results
+
+    # ----------------------------------------------------------------- io
+    def save_weights(self, path, cutoff: int | None = None) -> None:
+        if self.fused:
+            raise ValueError(
+                "params have fused BN; reload with fuse=False to save")
+        wio.save_weights(self.graph, self.params, path, seen=self.seen,
+                         cutoff=cutoff)

@@ -1,0 +1,87 @@
+"""Parameter PyTree construction: init, BN folding, dtype policy.
+
+Params are a list (one dict per layer) of f32 numpy/jnp arrays:
+
+* convolutional: ``{"w": (kh,kw,c/g,n), "b": (n,)}`` plus
+  ``{"scales","mean","var"}: (n,)`` when batch-normalized;
+* connected:     ``{"w": (inputs,outputs), "b": (outputs,)}`` (+BN);
+* batchnorm:     ``{"b","scales","mean","var"}: (c,)``;
+* local:         ``{"w": (locations, n, size*size*c), "b": (outputs,)}``;
+* all other layers: ``{}``.
+
+Initialization matches the reference: He-style uniform
+``sqrt(2/(k*k*c/g)) * U(-1,1)`` for conv (`convolutional_layer.cpp:478-493`),
+``U(-1,1)/sqrt(inputs)`` for connected, BN scales 1 / rolling stats (0, 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from darknet_tpu.ops.conv import fold_bn
+
+
+def init_params(graph, seed: int = 0) -> list:
+    rng = np.random.default_rng(seed)
+    params: list[dict] = []
+    for l in graph.layers:
+        p: dict = {}
+        if l.kind == "convolutional":
+            if l.share_index is not None:
+                params.append(p)
+                continue
+            cg = l.c // l.groups
+            scale = np.sqrt(2.0 / (l.size * l.size * cg))
+            if l.activation.startswith("normalize_channels"):
+                w = np.ones((l.size, l.size, cg, l.n), dtype=np.float32)
+            else:
+                w = (scale * rng.uniform(-1, 1,
+                     (l.size, l.size, cg, l.n))).astype(np.float32)
+            p["w"] = w
+            p["b"] = np.zeros(l.n, dtype=np.float32)
+            if l.batch_normalize:
+                p["scales"] = np.ones(l.n, dtype=np.float32)
+                p["mean"] = np.zeros(l.n, dtype=np.float32)
+                p["var"] = np.ones(l.n, dtype=np.float32)
+        elif l.kind == "connected":
+            scale = 1.0 / np.sqrt(l.inputs)
+            p["w"] = (scale * rng.uniform(
+                -1, 1, (l.inputs, l.outputs))).astype(np.float32)
+            p["b"] = np.zeros(l.outputs, dtype=np.float32)
+            if l.batch_normalize:
+                p["scales"] = np.ones(l.outputs, dtype=np.float32)
+                p["mean"] = np.zeros(l.outputs, dtype=np.float32)
+                p["var"] = np.ones(l.outputs, dtype=np.float32)
+        elif l.kind == "batchnorm":
+            p["b"] = np.zeros(l.c, dtype=np.float32)
+            p["scales"] = np.ones(l.c, dtype=np.float32)
+            p["mean"] = np.zeros(l.c, dtype=np.float32)
+            p["var"] = np.ones(l.c, dtype=np.float32)
+        elif l.kind == "local":
+            locations = l.out_w * l.out_h
+            scale = 1.0 / np.sqrt(l.size * l.size * l.c)
+            p["w"] = (scale * rng.uniform(
+                -1, 1, (locations, l.n, l.size * l.size * l.c))
+            ).astype(np.float32)
+            p["b"] = np.zeros(l.outputs, dtype=np.float32)
+        params.append(p)
+    return params
+
+
+def fuse_conv_batchnorm(graph, params: list) -> list:
+    """FuseConvBatchNorm (network.cpp:647-682): fold rolling stats into conv
+    weights/biases for inference; weight-shared convs drop their BN.
+    Returns new params; the caller should treat BN as disabled afterwards
+    (emit with `fused=True`)."""
+    out = []
+    for l, p in zip(graph.layers, params):
+        if (l.kind == "convolutional" and l.batch_normalize
+                and l.share_index is None and "scales" in p):
+            import jax.numpy as jnp
+            w, b = fold_bn(jnp.asarray(p["w"]), jnp.asarray(p["b"]),
+                           jnp.asarray(p["scales"]), jnp.asarray(p["mean"]),
+                           jnp.asarray(p["var"]))
+            out.append({"w": np.asarray(w), "b": np.asarray(b)})
+        else:
+            out.append(dict(p))
+    return out

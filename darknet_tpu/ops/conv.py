@@ -1,0 +1,199 @@
+"""Convolution blocks: conv + bias/batchnorm + activation, NHWC on the MXU.
+
+The reference forwards a conv layer as im2col + GEMM (+cuDNN on GPU) with a
+separate batch-norm pass and an activation epilogue
+(`convolutional_layer.cpp:1128-1305`, `convolutional_kernels.cu:252-552`).
+On TPU the whole block is one `lax.conv_general_dilated` (lowered straight
+onto the MXU) with the BN/bias/activation fused into the epilogue by XLA.
+
+Numerics:
+* inference BN uses rolling stats with ``sqrt(var + 1e-5)`` (the GPU/fused
+  path, `blas_kernels.cu:144`, `network.cpp:660`);
+* training BN computes batch mean/(biased) variance and updates rolling
+  stats with 0.9/0.1 (`batchnorm_layer.cpp:221-224`);
+* compute can run in bf16 (MXU native) with f32 accumulation via
+  ``preferred_element_type``; params stay f32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from darknet_tpu.ops.activations import apply_activation
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+BN_EPS = 1e-5
+
+
+def conv2d_raw(x, w, *, stride=(1, 1), padding=((0, 0), (0, 0)),
+               dilation=(1, 1), groups=1, compute_dtype=None):
+    """Plain convolution, NHWC x HWIO -> NHWC, f32 accumulation.
+
+    When `compute_dtype` is None the op runs in full f32 (Precision.HIGHEST
+    — on TPU that is the 3-pass bf16 scheme, needed for reference parity);
+    pass bf16 for the fast MXU-native production path.
+    """
+    precision = None
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    else:
+        precision = lax.Precision.HIGHEST
+    return lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def darknet_conv_padding(size: int, pad: int, dilation: int,
+                         in_hw, stride, out_hw) -> tuple:
+    """Explicit (lo, hi) padding reproducing darknet's output size.
+
+    Darknet computes ``out = (in + 2*pad - size)/stride + 1`` (ignoring
+    dilation, `convolutional_layer.cpp:87-95`) and its im2col treats
+    out-of-range taps as zeros with symmetric conceptual padding `pad`.
+    XLA wants explicit per-edge padding; the low edge gets `pad` and the
+    high edge exactly what the output size formula requires.
+    """
+    (in_h, in_w), (s_y, s_x), (out_h, out_w) = in_hw, stride, out_hw
+    eff = lambda k: dilation * (k - 1) + 1
+    hi_h = (out_h - 1) * s_y + eff(size) - in_h - pad
+    hi_w = (out_w - 1) * s_x + eff(size) - in_w - pad
+    return ((pad, max(hi_h, 0)), (pad, max(hi_w, 0)))
+
+
+def batch_mean_var(y, axes):
+    """Batch statistics matching mean_cpu/variance_cpu (blas.c:164-201):
+    mean over batch*spatial, variance with Bessel's 1/(N-1) correction."""
+    n = 1
+    for a in axes:
+        n *= y.shape[a]
+    mean = jnp.mean(y, axis=axes)
+    sq = jnp.sum(jnp.square(y - jnp.expand_dims(mean, axes)), axis=axes)
+    var = sq / max(n - 1, 1)
+    return mean, var
+
+
+def fold_bn(w, b, scales, mean, var, eps: float = BN_EPS):
+    """Fold rolling BN stats into conv weights+bias (FuseConvBatchNorm,
+    network.cpp:647-682): ``w *= s/std; b = b - s*mean/std`` with
+    ``std = sqrt(var + 1e-5)``.  w is HWIO; per-filter factors index O."""
+    std = jnp.sqrt(var + eps)
+    factor = scales / std
+    w2 = w * factor[None, None, None, :]
+    b2 = b - scales * mean / std
+    return w2, b2
+
+
+def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
+    """Full darknet conv layer: conv, then BN or bias, then activation.
+
+    `p` is the layer's param dict ({"w","b"[,"scales","mean","var"]}).
+    `l` is its ConvIR.  Returns (y, bn_stats) where bn_stats is
+    (batch_mean, batch_var) when train and batch_normalize, else None —
+    the caller threads them into rolling-stat updates.
+    """
+    padding = darknet_conv_padding(
+        l.size, l.pad, l.dilation, (l.h, l.w), (l.stride_y, l.stride_x),
+        (l.out_h, l.out_w))
+    y = conv2d_raw(
+        x, p["w"], stride=(l.stride_y, l.stride_x), padding=padding,
+        dilation=(l.dilation, l.dilation), groups=l.groups,
+        compute_dtype=compute_dtype)
+
+    bn_stats = None
+    if l.batch_normalize and "scales" in p:
+        if train:
+            mean, var = batch_mean_var(y, axes=(0, 1, 2))
+            bn_stats = (mean, var)
+        else:
+            mean, var = p["mean"], p["var"]
+        inv_std = lax.rsqrt(var + BN_EPS)
+        y = (y - mean) * inv_std * p["scales"] + p["b"]
+    else:
+        y = y + p["b"]
+
+    y = apply_activation(y, l.activation)
+    if getattr(l, "antialiasing", 0):
+        y = antialias_blur(y, l)
+    return y, bn_stats
+
+
+def _blur_kernel(c: int, antialiasing: int, dtype=jnp.float32):
+    """Depthwise blur weights (convolutional_layer.cpp:744-801)."""
+    if antialiasing == 2:
+        k = jnp.full((2, 2), 0.25, dtype=dtype)
+    else:
+        k1 = jnp.array([1.0, 2.0, 1.0], dtype=dtype) / 4.0
+        k = jnp.outer(k1, k1)
+    # HWIO with feature_group_count=c: (kh, kw, 1, c)
+    return jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+
+
+def antialias_blur(y, l):
+    """Fixed depthwise blur at the layer's original stride."""
+    c = y.shape[-1]
+    size, pad = (2, 0) if l.antialiasing == 2 else (3, 1)
+    in_h, in_w = y.shape[1], y.shape[2]
+    out_h = (in_h + 2 * pad - size) // l.blur_stride_y + 1
+    out_w = (in_w + 2 * pad - size) // l.blur_stride_x + 1
+    padding = darknet_conv_padding(
+        size, pad, 1, (in_h, in_w), (l.blur_stride_y, l.blur_stride_x),
+        (out_h, out_w))
+    return lax.conv_general_dilated(
+        y, _blur_kernel(c, l.antialiasing, y.dtype),
+        window_strides=(l.blur_stride_y, l.blur_stride_x),
+        padding=padding,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def connected_block(x, p, l, *, train: bool = False, compute_dtype=None):
+    """Fully-connected layer (connected_layer.cpp): y = x @ w + b, opt BN."""
+    x2 = x.reshape(x.shape[0], -1)
+    w = p["w"]
+    precision = None
+    if compute_dtype is not None:
+        x2 = x2.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    else:
+        precision = lax.Precision.HIGHEST
+    y = jnp.dot(x2, w, precision=precision,
+                preferred_element_type=jnp.float32)
+    bn_stats = None
+    if l.batch_normalize and "scales" in p:
+        if train:
+            mean, var = batch_mean_var(y, axes=(0,))
+            bn_stats = (mean, var)
+        else:
+            mean, var = p["mean"], p["var"]
+        inv_std = lax.rsqrt(var + BN_EPS)
+        y = (y - mean) * inv_std * p["scales"] + p["b"]
+    else:
+        y = y + p["b"]
+    y = apply_activation(y, l.activation)
+    return y, bn_stats
+
+
+def batchnorm_block(x, p, l, *, train: bool = False):
+    """Standalone [batchnorm] layer (batchnorm_layer.cpp:206-238)."""
+    bn_stats = None
+    if train:
+        mean, var = batch_mean_var(x, axes=(0, 1, 2))
+        bn_stats = (mean, var)
+    else:
+        mean, var = p["mean"], p["var"]
+    inv_std = lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * inv_std * p["scales"] + p["b"]
+    return y, bn_stats

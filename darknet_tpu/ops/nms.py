@@ -1,0 +1,127 @@
+"""NMS: exact host reference semantics + an on-device masked variant.
+
+Reference (`box.cpp:372-419` NmsSort): per class, sort detections by that
+class's prob (descending, qsort), then greedily zero the prob of any
+lower-ranked detection whose IoU (greedy) or DIoU (diounms, beta) with a
+surviving one exceeds `thresh`.  Boxes themselves are never removed — only
+class probs are zeroed; a detection dies when all its probs are zero.
+
+The device variant keeps the same semantics with a fixed box budget: scores
+sort per class (shared IoU matrix — boxes are class-independent), then a
+`fori_loop` computes the keep mask; only final detections leave HBM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from darknet_tpu.ops import boxes as boxops
+
+
+# --------------------------------------------------------------------------
+# Host (numpy) exact reference implementation
+# --------------------------------------------------------------------------
+
+def _np_iou(a, b):
+    def edges(v):
+        return (v[..., 0] - v[..., 2] / 2, v[..., 0] + v[..., 2] / 2,
+                v[..., 1] - v[..., 3] / 2, v[..., 1] + v[..., 3] / 2)
+
+    al, ar, at, ab = edges(a)
+    bl, br, bt, bb = edges(b)
+    w = np.minimum(ar, br) - np.maximum(al, bl)
+    h = np.minimum(ab, bb) - np.maximum(at, bt)
+    inter = np.where((w < 0) | (h < 0), 0.0, w * h)
+    uni = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    eps = np.finfo(np.float32).eps
+    out = np.zeros_like(inter)
+    ok = (np.abs(inter) >= eps) & (np.abs(uni) >= eps)
+    out[ok] = inter[ok] / uni[ok]
+    return out
+
+
+def _np_diou(a, b, beta):
+    def edges(v):
+        return (v[..., 0] - v[..., 2] / 2, v[..., 0] + v[..., 2] / 2,
+                v[..., 1] - v[..., 3] / 2, v[..., 1] + v[..., 3] / 2)
+
+    al, ar, at, ab = edges(a)
+    bl, br, bt, bb = edges(b)
+    w = np.maximum(ar, br) - np.minimum(al, bl)
+    h = np.maximum(ab, bb) - np.minimum(at, bt)
+    c = w * w + h * h
+    i = _np_iou(a, b)
+    d = (a[..., 0] - b[..., 0]) ** 2 + (a[..., 1] - b[..., 1]) ** 2
+    eps = np.finfo(np.float32).eps
+    out = i.copy()
+    ok = np.abs(c) >= eps
+    out[ok] = i[ok] - np.power(d[ok] / c[ok], beta)
+    return out
+
+
+def nms_numpy(boxes: np.ndarray, probs: np.ndarray, thresh: float,
+              kind: str = "greedynms", beta: float = 0.6) -> np.ndarray:
+    """Exact NmsSort: boxes (N,4), probs (N,C) -> suppressed probs (N,C)."""
+    boxes = np.asarray(boxes, dtype=np.float32)
+    probs = np.asarray(probs, dtype=np.float32).copy()
+    n, c = probs.shape
+    eps = np.finfo(np.float32).eps
+    for k in range(c):
+        order = np.argsort(-probs[:, k], kind="stable")
+        for oi in range(n):
+            i = order[oi]
+            if abs(probs[i, k]) < eps:
+                continue
+            a = boxes[i]
+            rest = order[oi + 1:]
+            if rest.size == 0:
+                continue
+            if kind == "greedynms":
+                sim = _np_iou(a[None, :], boxes[rest])
+            else:
+                sim = _np_diou(a[None, :], boxes[rest], beta)
+            probs[rest[sim > thresh], k] = 0.0
+    return probs
+
+
+# --------------------------------------------------------------------------
+# Device (jnp) fixed-size variant
+# --------------------------------------------------------------------------
+
+def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
+               beta: float = 0.6):
+    """Masked greedy NMS on device: boxes (N,4), probs (N,C) -> (N,C).
+
+    Matches NmsSort up to tie-ordering: per class, detections are visited in
+    descending-prob order and suppressed by any *surviving* higher-ranked
+    detection with similarity > thresh.  Runs as C independent passes over a
+    shared (N,N) similarity matrix (vmapped); N is static.
+    """
+    n = boxes.shape[0]
+    if kind == "greedynms":
+        sim = boxops.iou(boxes[:, None, :], boxes[None, :, :])
+    else:
+        sim = boxops.diou(boxes[:, None, :], boxes[None, :, :], beta)
+    suppress = sim > thresh
+
+    def one_class(p):
+        order = jnp.argsort(-p)                      # descending
+        s_sorted = suppress[order][:, order]         # (N,N) in rank order
+        active = p[order] > 0.0
+
+        def body(i, kept):
+            # kept: bool (N,) — ranks < i already decided
+            hit = jnp.any(kept & s_sorted[i] & (jnp.arange(n) < i))
+            keep_i = active[i] & jnp.logical_not(hit)
+            return kept.at[i].set(keep_i)
+
+        kept = lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
+        p_sorted = jnp.where(kept, p[order], 0.0)
+        inv = jnp.argsort(order)
+        return p_sorted[inv]
+
+    return jax.vmap(one_class, in_axes=1, out_axes=1)(probs)

@@ -1,0 +1,75 @@
+"""NMS tests: host implementation behaviour + device/host agreement."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from darknet_tpu.ops import nms as nmslib
+
+
+def test_greedy_nms_suppresses_overlap():
+    boxes = np.array([
+        [0.5, 0.5, 0.2, 0.2],
+        [0.51, 0.5, 0.2, 0.2],     # heavy overlap with 0
+        [0.9, 0.9, 0.1, 0.1],      # far away
+    ], dtype=np.float32)
+    probs = np.array([[0.9], [0.8], [0.7]], dtype=np.float32)
+    out = nmslib.nms_numpy(boxes, probs, 0.45)
+    assert out[0, 0] == 0.9
+    assert out[1, 0] == 0.0
+    assert out[2, 0] == 0.7
+
+
+def test_nms_per_class_independent():
+    boxes = np.array([
+        [0.5, 0.5, 0.2, 0.2],
+        [0.51, 0.5, 0.2, 0.2],
+    ], dtype=np.float32)
+    probs = np.array([[0.9, 0.0], [0.0, 0.8]], dtype=np.float32)
+    out = nmslib.nms_numpy(boxes, probs, 0.45)
+    # different classes never suppress each other
+    assert out[0, 0] == 0.9 and out[1, 1] == 0.8
+
+
+def test_suppressed_does_not_suppress():
+    # chain: A > B > C; B overlaps A (dies), C overlaps B but not A -> C lives
+    boxes = np.array([
+        [0.30, 0.5, 0.20, 0.2],
+        [0.40, 0.5, 0.20, 0.2],
+        [0.52, 0.5, 0.20, 0.2],
+    ], dtype=np.float32)
+    probs = np.array([[0.9], [0.8], [0.7]], dtype=np.float32)
+    out = nmslib.nms_numpy(boxes, probs, 0.3)
+    assert out[0, 0] == 0.9
+    assert out[1, 0] == 0.0
+    assert out[2, 0] == 0.7
+
+
+def test_device_matches_numpy(rng):
+    n, c = 64, 5
+    boxes = np.stack([
+        rng.uniform(0.2, 0.8, n), rng.uniform(0.2, 0.8, n),
+        rng.uniform(0.05, 0.3, n), rng.uniform(0.05, 0.3, n),
+    ], axis=1).astype(np.float32)
+    probs = (rng.uniform(0, 1, (n, c)) *
+             (rng.uniform(0, 1, (n, c)) > 0.5)).astype(np.float32)
+    for kind in ("greedynms", "diounms"):
+        want = nmslib.nms_numpy(boxes, probs, 0.45, kind=kind, beta=0.6)
+        got = np.asarray(nmslib.nms_device(
+            jnp.asarray(boxes), jnp.asarray(probs), 0.45, kind=kind,
+            beta=0.6))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_diou_nms_beta():
+    boxes = np.array([
+        [0.5, 0.5, 0.2, 0.2],
+        [0.62, 0.5, 0.2, 0.2],
+    ], dtype=np.float32)
+    probs = np.array([[0.9], [0.8]], dtype=np.float32)
+    greedy = nmslib.nms_numpy(boxes, probs, 0.25, kind="greedynms")
+    diou = nmslib.nms_numpy(boxes, probs, 0.25, kind="diounms", beta=0.6)
+    # DIoU similarity = IoU - center-distance term <= IoU, so DIoU NMS is
+    # less aggressive for displaced boxes
+    assert greedy[1, 0] == 0.0
+    assert diou[1, 0] == 0.8
