@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: YOLOv4 608x608 inference images/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline (BASELINE.md): the target is >=2x A100-TensorRT throughput for
+yolov4-608.  Public TensorRT numbers for yolov4-608 FP16 on A100 cluster
+around ~400 img/s, so vs_baseline is reported against 800 img/s.
+
+The measured path is the full inference program: NHWC forward (bf16 MXU
+compute, f32 accumulation), fused BN, on-device YOLO box decode for all
+three heads.  Only decoded boxes/scores leave the device.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_S = 800.0   # 2x A100-TensorRT yolov4-608
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from darknet_tpu import model_zoo
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.nn import params as paramlib
+    from darknet_tpu.nn.emit import make_forward
+    from darknet_tpu.ops import yolo as yoloops
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    size = 608
+
+    graph = build_graph(model_zoo.yolov4_cfg(size, size))
+    params = paramlib.init_params(graph, seed=0)
+    params = paramlib.fuse_conv_batchnorm(graph, params)
+    params = jax.device_put(params)
+
+    fwd = make_forward(graph, compute_dtype=jnp.bfloat16, fused_bn=True)
+    heads = graph.heads()
+
+    @jax.jit
+    def run(params, x):
+        r = fwd(params, x)
+        outs = []
+        for t, l in zip(r["heads"], heads):
+            boxes, obj, cls = yoloops.yolo_decode(t, l, size, size)
+            outs.append((boxes, obj, cls))
+        boxes = jnp.concatenate([o[0] for o in outs], axis=1)
+        obj = jnp.concatenate([o[1] for o in outs], axis=1)
+        cls = jnp.concatenate([o[2] for o in outs], axis=1)
+        # scalar checksum: timing fetches ONE f32, forcing execution without
+        # paying a bulk device->host readback (block_until_ready does not
+        # actually block over the axon tunnel)
+        chk = jnp.sum(obj) + jnp.sum(boxes[..., 0])
+        return boxes, obj, cls, chk
+
+    x = np.random.default_rng(0).uniform(
+        0, 1, (batch, size, size, 3)).astype(np.float32)
+    x = jax.device_put(x)
+
+    # warmup/compile
+    _ = float(run(params, x)[3])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(params, x)
+    _ = float(out[3])            # device queue is FIFO: awaits all iters
+    dt = time.perf_counter() - t0
+
+    img_s = batch * iters / dt
+    print(json.dumps({
+        "metric": "yolov4-608 images/sec/chip (bf16 inference, on-device decode)",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

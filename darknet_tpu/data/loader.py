@@ -1,0 +1,138 @@
+"""Threaded detection-data loader with double buffering.
+
+Mirrors the reference's permanent worker pool + double buffer
+(`data.cpp:723-837`, `detector.cpp:185-189`): a `DetectionLoader` keeps a
+persistent thread pool producing batches ahead of the trainer; `next()`
+hands over the ready batch and immediately kicks off the next one.  Mosaic
+(4-image cut) and mixup (50/50 blend) are composed here, replicating the
+`i_mixup` outer loop of `load_data_detection` (data.cpp:462-676).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+
+import numpy as np
+
+from darknet_tpu.data.augment import (blend_truth, blend_truth_mosaic,
+                                      load_detection_sample)
+
+
+class DetectionLoader:
+    def __init__(self, paths, *, w, h, batch, boxes=90, classes=80,
+                 jitter=0.3, hue=0.1, saturation=1.5, exposure=1.5,
+                 flip=True, blur=0, gaussian_noise=0, mixup=0,
+                 threads=6, seed=0):
+        self.paths = list(paths)
+        self.w, self.h = w, h
+        self.batch = batch
+        self.boxes = boxes
+        self.classes = classes
+        self.aug = dict(jitter=jitter, hue=hue, saturation=saturation,
+                        exposure=exposure, use_flip=flip, use_blur=blur,
+                        use_gaussian_noise=gaussian_noise)
+        self.mixup = mixup           # 0=off, 1=mixup, 3=mosaic (net.mixup)
+        self.rng = np.random.default_rng(seed)
+        self.pool = cf.ThreadPoolExecutor(max_workers=threads)
+        self._pending = None
+        self._lock = threading.Lock()
+        self.resize(w, h)            # no-op; sets current dims
+        self._kickoff()
+
+    # ------------------------------------------------------------------
+    def resize(self, w: int, h: int) -> None:
+        """Multi-scale training support: subsequent batches load at the new
+        resolution (the trainer re-jits per bucket)."""
+        self.w, self.h = w, h
+
+    def _sample(self, seed, w, h):
+        rng = np.random.default_rng(seed)
+        path = self.paths[rng.integers(0, len(self.paths))]
+        try:
+            return load_detection_sample(
+                path, w, h, self.boxes, self.classes, rng=rng, **self.aug)
+        except Exception:
+            # bad image: reference logs to bad.list and skips; emit zeros
+            return (np.zeros((h, w, 3), np.float32),
+                    np.zeros((self.boxes, 5), np.float32), {})
+
+    def _make_batch(self, seed, w, h):
+        rng = np.random.default_rng(seed)
+        use_mixup = self.mixup
+        if use_mixup and rng.integers(0, 2) == 0:
+            use_mixup = 0             # 50% off (data.cpp:433-434)
+        n_draws = {0: 1, 1: 2, 3: 4}.get(use_mixup, 1)
+
+        seeds = rng.integers(0, 2 ** 31, size=(n_draws, self.batch))
+        x = np.zeros((self.batch, h, w, 3), np.float32)
+        y = np.zeros((self.batch, self.boxes, 5), np.float32)
+
+        if use_mixup == 3:
+            min_off = 0.2
+            cut_x = rng.integers(int(w * min_off), int(w * (1 - min_off)),
+                                 self.batch)
+            cut_y = rng.integers(int(h * min_off), int(h * (1 - min_off)),
+                                 self.batch)
+
+        for quad in range(n_draws):
+            futures = [self.pool.submit(self._sample, int(seeds[quad, i]),
+                                        w, h)
+                       for i in range(self.batch)]
+            for i, fut in enumerate(futures):
+                img, truth, meta = fut.result()
+                if use_mixup == 0:
+                    x[i], y[i] = img, truth
+                elif use_mixup == 1:
+                    if quad == 0:
+                        x[i], y[i] = img, truth
+                    else:
+                        x[i] = 0.5 * x[i] + 0.5 * img
+                        blend_truth(y[i], truth)
+                elif use_mixup == 3:
+                    cx, cy = int(cut_x[i]), int(cut_y[i])
+                    pleft = meta.get("pleft", 0)
+                    pright = meta.get("pright", 0)
+                    ptop = meta.get("ptop", 0)
+                    pbot = meta.get("pbot", 0)
+                    if meta.get("flip"):
+                        pleft, pright = pright, pleft
+                    # the reference shifts crop windows by the out-of-image
+                    # padding (data.cpp:577-586); approximate ow/oh with the
+                    # net dims ratio it uses (w/ow factors cancel in-range)
+                    ls = min(cx, max(0, -pleft))
+                    ts = min(cy, max(0, -ptop))
+                    rs = min(w - cx, max(0, -pright))
+                    bs = min(h - cy, max(0, -pbot))
+                    if quad == 0:
+                        x[i, :cy, :cx] = img[h - cy - bs:h - bs,
+                                             w - cx - rs:w - rs]
+                    elif quad == 1:
+                        x[i, :cy, cx:] = img[h - cy - bs:h - bs,
+                                             ls:ls + (w - cx)]
+                    elif quad == 2:
+                        x[i, cy:, :cx] = img[ts:ts + (h - cy),
+                                             w - cx - rs:w - rs]
+                    else:
+                        x[i, cy:, cx:] = img[ts:ts + (h - cy),
+                                             ls:ls + (w - cx)]
+                    blend_truth_mosaic(y[i], truth, w, h, cx, cy, quad,
+                                       ls, rs, ts, bs)
+        return x, y
+
+    # ------------------------------------------------------------------
+    def _kickoff(self):
+        seed = int(self.rng.integers(0, 2 ** 31))
+        w, h = self.w, self.h
+        self._pending = self.pool.submit(self._make_batch, seed, w, h)
+
+    def next(self):
+        """Block for the in-flight batch, immediately start the next one
+        (the reference's pthread_join + load_data relaunch)."""
+        with self._lock:
+            batch = self._pending.result()
+            self._kickoff()
+        return batch
+
+    def close(self):
+        self.pool.shutdown(wait=False, cancel_futures=True)

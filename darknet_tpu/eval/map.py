@@ -1,0 +1,156 @@
+"""mAP@IoU validation — exact port of ValidateDetector
+(detector.cpp:326-561).
+
+Semantics preserved:
+* detection threshold .005, NMS .45 with the head's nms_kind/beta;
+* per-image greedy match: a detection's (class, prob) entry matches the
+  highest-IoU same-class GT with IoU > iou_thresh;
+* global confidence-sorted PR accumulation with unique-GT TP logic
+  (first match in confidence order claims the GT; later ones are FPs);
+* AP by right-to-left interpolated precision (Riemann sum over recall
+  deltas), mAP = mean over classes;
+* recall/precision reported at the prob=0.5 crossing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from darknet_tpu.data.image import load_image_rgb, resize_image_cv
+from darknet_tpu.data.labels import image_to_label_path, read_box_annot
+
+
+@dataclasses.dataclass
+class MapResult:
+    map: float
+    per_class_ap: np.ndarray
+    recall: float
+    precision: float
+    pred_time_s: float
+    imgs_per_s: float
+    n_pred: int
+    n_gt: int
+
+
+def _iou_single(a, b):
+    w = min(a[0] + a[2] / 2, b[0] + b[2] / 2) - \
+        max(a[0] - a[2] / 2, b[0] - b[2] / 2)
+    h = min(a[1] + a[3] / 2, b[1] + b[3] / 2) - \
+        max(a[1] - a[3] / 2, b[1] - b[3] / 2)
+    if w < 0 or h < 0:
+        return 0.0
+    inter = w * h
+    u = a[2] * a[3] + b[2] * b[3] - inter
+    eps = np.finfo(np.float32).eps
+    if abs(inter) < eps or abs(u) < eps:
+        return 0.0
+    return inter / u
+
+
+def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
+                      thresh: float = 0.005, nms: float = 0.45,
+                      batch: int = 1, progress: bool = True) -> MapResult:
+    """Run the full mAP pipeline with a `Network` (or anything exposing
+    `detect_batch`)."""
+    val_boxes = []          # (prob, cid, matched, gt_idx)
+    num_gt_class = np.zeros(classes, np.int64)
+    num_gt = 0
+    pred_time = 0.0
+
+    for start in range(0, len(img_paths), batch):
+        chunk = img_paths[start:start + batch]
+        imgs = []
+        for p in chunk:
+            im = load_image_rgb(p)
+            imgs.append(resize_image_cv(im, net.net.w, net.net.h))
+        x = np.stack(imgs)
+
+        t0 = time.perf_counter()
+        dets_batch = net.detect_batch(x, thresh=thresh, nms=nms)
+        pred_time += time.perf_counter() - t0
+
+        for p, dets in zip(chunk, dets_batch):
+            gt = read_box_annot(image_to_label_path(p))
+            for row in gt:
+                cid = int(row[0])
+                if 0 <= cid < classes:
+                    num_gt_class[cid] += 1
+            for d in dets:
+                probs = np.asarray(d.prob)
+                for cid in np.nonzero(
+                        np.abs(probs) >= np.finfo(np.float32).eps)[0]:
+                    gt_idx, max_iou = -1, 0.0
+                    for k, row in enumerate(gt):
+                        if int(row[0]) != cid:
+                            continue
+                        iou = _iou_single(d.bbox, row[1:5])
+                        if iou > iou_thresh and iou > max_iou:
+                            max_iou = iou
+                            gt_idx = num_gt + k
+                    val_boxes.append((float(probs[cid]), int(cid),
+                                      gt_idx > -1, gt_idx))
+            num_gt += len(gt)
+        if progress:
+            print(f"\rCalculating mAP for {start + len(chunk)} samples...",
+                  end="", flush=True)
+    if progress:
+        print()
+
+    return _pr_from_valboxes(val_boxes, num_gt_class, num_gt, classes,
+                             pred_time, len(img_paths))
+
+
+def _pr_from_valboxes(val_boxes, num_gt_class, num_gt, classes, pred_time,
+                      n_imgs) -> MapResult:
+    """PR accumulation + AP integration (detector.cpp:436-549)."""
+    val_boxes = sorted(val_boxes, key=lambda v: -v[0])
+    n = len(val_boxes)
+    tp = np.zeros((classes,), np.int64)
+    fp = np.zeros((classes,), np.int64)
+    precision = np.zeros((classes, max(n, 1)), np.float64)
+    recall = np.zeros((classes, max(n, 1)), np.float64)
+    gt_flags = np.zeros(max(num_gt, 1), bool)
+    rec_at_50 = prec_at_50 = 0.0
+
+    for i, (p, cid, matched, gt_idx) in enumerate(val_boxes):
+        if matched:
+            if not gt_flags[gt_idx]:
+                gt_flags[gt_idx] = True
+                tp[cid] += 1
+            else:
+                fp[cid] += 1
+        else:
+            fp[cid] += 1
+        denom_p = tp + fp
+        fn = num_gt_class - tp
+        with np.errstate(divide="ignore", invalid="ignore"):
+            precision[:, i] = np.where(denom_p > 0, tp / denom_p, 0.0)
+            recall[:, i] = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
+        if p > 0.5:
+            # reference reports the LAST class's PR at the 0.5 crossing —
+            # effectively the final class column; replicate with cid=-1
+            rec_at_50 = recall[-1, i] * 100
+            prec_at_50 = precision[-1, i] * 100
+
+    aps = np.zeros(classes)
+    if n:
+        for cid in range(classes):
+            last_recall = recall[cid, -1]
+            last_precision = precision[cid, -1]
+            ap = 0.0
+            for i in range(n - 1, -1, -1):
+                delta = last_recall - recall[cid, i]
+                last_recall = recall[cid, i]
+                last_precision = max(last_precision, precision[cid, i])
+                ap += delta * last_precision
+            aps[cid] = ap
+
+    m = float(np.mean(aps)) if classes else 0.0
+    return MapResult(
+        map=m, per_class_ap=aps, recall=rec_at_50, precision=prec_at_50,
+        pred_time_s=pred_time,
+        imgs_per_s=n_imgs / pred_time if pred_time > 0 else 0.0,
+        n_pred=n, n_gt=num_gt)

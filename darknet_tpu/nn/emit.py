@@ -171,6 +171,13 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             else:
                 raise NotImplementedError(f"layer kind {k}")
 
+            # stopbackward: BackwardNetwork breaks at this layer
+            # (network.cpp:179-181) — no gradient reaches it or anything
+            # below; onlyforward skips just this layer's backward.  Both
+            # lower to a stop_gradient on the layer's output.
+            if train and (l.stopbackward or l.onlyforward):
+                cur = jax.lax.stop_gradient(cur)
+
             if i in live:
                 outs[i] = cur
 

@@ -77,11 +77,16 @@ def fuse_conv_batchnorm(graph, params: list) -> list:
     for l, p in zip(graph.layers, params):
         if (l.kind == "convolutional" and l.batch_normalize
                 and l.share_index is None and "scales" in p):
-            import jax.numpy as jnp
-            w, b = fold_bn(jnp.asarray(p["w"]), jnp.asarray(p["b"]),
-                           jnp.asarray(p["scales"]), jnp.asarray(p["mean"]),
-                           jnp.asarray(p["var"]))
-            out.append({"w": np.asarray(w), "b": np.asarray(b)})
+            # pure numpy on host: eager per-layer device ops would cost a
+            # device round-trip per array (~200s for yolov4 over a tunnel)
+            w = np.asarray(p["w"], dtype=np.float32)
+            b = np.asarray(p["b"], dtype=np.float32)
+            scales = np.asarray(p["scales"], dtype=np.float32)
+            mean = np.asarray(p["mean"], dtype=np.float32)
+            var = np.asarray(p["var"], dtype=np.float32)
+            std = np.sqrt(var + 1e-5)
+            out.append({"w": w * (scales / std)[None, None, None, :],
+                        "b": b - scales * mean / std})
         else:
             out.append(dict(p))
     return out

@@ -36,15 +36,20 @@ def maxpool(x, l):
         return jnp.max(y, axis=3)
 
     lo = l.pad // 2
-    hi_h = (l.out_h - 1) * l.stride_y + l.size - l.h - lo
-    hi_w = (l.out_w - 1) * l.stride_x + l.size - l.w - lo
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
-    return lax.reduce_window(
-        x, neg_inf, lax.max,
-        window_dimensions=(1, l.size, l.size, 1),
-        window_strides=(1, l.stride_y, l.stride_x, 1),
-        padding=((0, 0), (lo, max(hi_h, 0)), (lo, max(hi_w, 0)), (0, 0)),
-    )
+    hi_h = max((l.out_h - 1) * l.stride_y + l.size - l.h - lo, 0)
+    hi_w = max((l.out_w - 1) * l.stride_x + l.size - l.w - lo, 0)
+    # max over size^2 shifted strided slices: equivalent to reduce_window
+    # but reverse-mode differentiable (reduce_window has no VJP here) and
+    # fully fusable by XLA.
+    xp = jnp.pad(x, ((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
+                 constant_values=-jnp.inf)
+    out = None
+    for dy in range(l.size):
+        for dx in range(l.size):
+            s = xp[:, dy:dy + (l.out_h - 1) * l.stride_y + 1:l.stride_y,
+                   dx:dx + (l.out_w - 1) * l.stride_x + 1:l.stride_x, :]
+            out = s if out is None else jnp.maximum(out, s)
+    return out
 
 
 def maxpool_block(x, l):

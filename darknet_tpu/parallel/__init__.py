@@ -1,0 +1,4 @@
+from darknet_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from darknet_tpu.parallel.dp import make_dp_train_step
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "make_dp_train_step"]

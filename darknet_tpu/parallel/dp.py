@@ -1,0 +1,38 @@
+"""Data-parallel training step over a device mesh.
+
+One logical jitted program with the batch sharded over the `dp` axis and
+parameters replicated; XLA partitions the conv FLOPs per device and inserts
+`psum` all-reduces over ICI for the parameter gradients and the (global)
+batch-norm statistics.  This subsumes the reference's TrainNetworks /
+SyncNetworks machinery (`network_kernels.cu:295-484`) with per-step exact
+synchronization.
+
+Note on LR: the reference multiplies LR by the GPU count and keeps the
+per-replica batch (`detector.cpp:67`).  Here the caller passes the global
+batch through `[net] batch`; if you want reference-equivalent scaling when
+growing the mesh, scale the cfg LR the same way (documented, not implicit).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from darknet_tpu.train.step import make_train_step
+
+
+def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
+                       donate: bool = True):
+    """Jitted DP train step: params/opt replicated, batch sharded."""
+    inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False)
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(axis))
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(
+        inner,
+        in_shardings=(rep, rep, dp, dp, rep, rep),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=donate_argnums,
+    )

@@ -1,0 +1,36 @@
+"""Device mesh + sharding helpers — the communication layer.
+
+The reference's only distribution strategy is data parallelism via
+pthread-per-GPU replicas with periodic PCIe weight averaging
+(`network_kernels.cu:295-484`, SURVEY.md §2.7).  The TPU-native equivalent
+is a `jax.sharding.Mesh` with the batch dimension sharded over the `dp`
+axis: XLA inserts per-step gradient all-reduces over ICI — strictly
+stronger than 4-iter weight averaging (and BN statistics become global
+across replicas, i.e. sync-BN, matching the single-chip math exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, x, axis: str = "dp"):
+    """Place an array with its leading (batch) dim sharded over the mesh."""
+    spec = P(axis)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)

@@ -1,0 +1,108 @@
+"""The jitted training step: forward + YOLO deltas + vjp + optimizer.
+
+Reference flow (TrainNetworkDatum, network.cpp:188-215): forward fills each
+YOLO layer's `delta` (gradient-ascent direction w.r.t. its activated
+output), backward pulls those deltas through the graph into
+`weight_updates`, then UpdateNetwork applies SGD/Adam.  Here the whole thing
+is ONE XLA program: `jax.vjp` of the forward (to the raw head outputs) with
+the hand-computed deltas as cotangents — keeping the reference's exact
+training math (including its deliberate deviations from true autodiff, e.g.
+no sigmoid-derivative on x/y/obj/cls, decoupled IoU gradients) while XLA
+autodiffs every other layer.
+
+Loss-scale semantics (network_kernels.cu / convolutional_kernels.cu):
+cotangents are multiplied by `loss_scale` and gradients divided by it again
+before the update.
+
+BN rolling statistics update 0.9/0.1 per step (batchnorm_layer.cpp:221-224)
+outside the gradient path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.nn.emit import make_forward
+from darknet_tpu.train import optimizer as opt
+from darknet_tpu.train.yolo_loss import yolo_head_delta
+
+
+def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
+                    donate: bool = True, jit: bool = True):
+    """Build `train_step(params, opt_state, x, truths, rng, lr)`.
+
+    x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).
+    Returns (params, opt_state, cost, metrics).
+    """
+    net = graph.net
+    if use_adam is None:
+        use_adam = net.adam
+    fwd = make_forward(graph, train=True, compute_dtype=compute_dtype)
+    heads = [l for l in graph.heads() if l.kind == "yolo"]
+    head_idx = [l.index for l in graph.layers if l.kind == "yolo"]
+    loss_scale = net.loss_scale
+
+    def step(params, opt_state, x, truths, rng, lr):
+        def to_heads(p):
+            r = fwd(p, x, rng)
+            return r["raw_heads"], r["bn_stats"]
+
+        raw_heads, vjp_fn, bn_stats = jax.vjp(to_heads, params, has_aux=True)
+
+        deltas, costs, metrics_list = [], [], []
+        for raw, l in zip(raw_heads, heads):
+            d, c, m = yolo_head_delta(raw.astype(jnp.float32), truths, l,
+                                      net.w, net.h)
+            deltas.append(d.astype(raw.dtype) * loss_scale)
+            costs.append(c)
+            metrics_list.append(m)
+
+        (grads,) = vjp_fn(deltas)
+        if loss_scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
+
+        cost = jnp.sum(jnp.stack(costs))
+        if use_adam:
+            params, opt_state = opt.adam_update(
+                graph, params, grads, opt_state, lr=lr, B1=net.B1, B2=net.B2,
+                eps=net.eps, decay=net.decay, batch=net.optimizer_batch)
+        else:
+            params, opt_state = opt.sgd_update(
+                graph, params, grads, opt_state, lr=lr,
+                momentum=net.momentum, decay=net.decay,
+                batch=net.optimizer_batch)
+
+        # rolling BN statistics (0.9/0.1)
+        new_params = []
+        for i, p in enumerate(params):
+            if i in bn_stats and "mean" in p:
+                mean, var = bn_stats[i]
+                p = dict(p)
+                p["mean"] = 0.9 * p["mean"] + 0.1 * mean
+                p["var"] = 0.9 * p["var"] + 0.1 * var
+            new_params.append(p)
+        params = new_params
+
+        metrics = {
+            "loss": sum(m["loss"] for m in metrics_list),
+            "avg_iou": sum(m["avg_iou"] for m in metrics_list) / len(heads),
+            "count": sum(m["count"] for m in metrics_list),
+            "class_loss": sum(m["class_loss"] for m in metrics_list),
+            "iou_loss_mag": sum(m["iou_loss"] for m in metrics_list),
+        }
+        return params, opt_state, cost, metrics
+
+    if not jit:
+        return step
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def init_opt_state(graph, params, use_adam: bool | None = None):
+    if use_adam is None:
+        use_adam = graph.net.adam
+    return opt.init_adam_state(params) if use_adam \
+        else opt.init_sgd_state(params)

@@ -1,0 +1,247 @@
+"""Training orchestration — the TrainDetector equivalent
+(detector.cpp:27-324).
+
+Reproduced behaviours:
+* ``max_iter = iter_per_epoch * max_epoch`` with
+  ``iter_per_epoch = round(num_train_imgs / optimizer_batch)``
+  (detector.cpp:79-85);
+* multi-scale: every 10 iterations pick a random scale in
+  [1/rand_coef, rand_coef] (rand_coef = 1.4 or the head's `random` value),
+  snapped to `resize_step`; forced to max at the start and during the last
+  100 iterations (detector.cpp:141-183).  On TPU each (w, h) bucket is its
+  own jitted executable, cached — the re-jit replaces ResizeNetwork;
+* EMA avg-loss 0.9/0.1; periodic in-training mAP every
+  ``map_step = max(100, iter_per_epoch)`` on held-out data, best-mAP
+  checkpoint; checkpoints every 1000 iterations and at the end
+  (detector.cpp:201-290);
+* LR: burn-in warmup + policy schedule via GetCurrLr; `seen` advances by
+  the optimizer batch per iteration;
+* multi-chip: pass a mesh for per-step psum data parallelism (replaces
+  TrainNetworks/SyncNetworks; lr is NOT auto-scaled — see parallel/dp.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.data.loader import DetectionLoader
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.train.schedule import get_lr
+from darknet_tpu.train.step import init_opt_state, make_train_step
+from darknet_tpu.weights import io as wio
+
+
+class DetectorTrainer:
+    def __init__(self, cfg, train_paths, *, weights=None, classes=80,
+                 clear=False, mesh=None, compute_dtype=None, seed=0,
+                 calc_map=False, val_paths=None, save_dir="backup",
+                 save_name="model", loader_threads=6, log=print):
+        self.graph = build_graph(cfg, train=True)
+        self.net = self.graph.net
+        self.cfg = cfg
+        self.mesh = mesh
+        self.compute_dtype = compute_dtype
+        self.log = log
+        self.save_dir = save_dir
+        self.save_name = save_name
+        self.calc_map = calc_map
+        self.val_paths = val_paths or []
+        self.classes = classes
+
+        self.seen = 0
+        if weights is not None:
+            params, self.seen, _ = wio.load_weights(self.graph, weights)
+            init = paramlib.init_params(self.graph, seed=seed)
+            self.params = [p if p else i for p, i in zip(params, init)]
+        else:
+            self.params = paramlib.init_params(self.graph, seed=seed)
+        if clear:
+            self.seen = 0
+
+        self.opt_state = init_opt_state(self.graph, self.params)
+
+        heads = self.graph.heads()
+        self.head = heads[-1] if heads else None
+        self.max_boxes = getattr(self.head, "max_boxes", 90)
+        self.jitter = getattr(self.head, "jitter", 0.3)
+        self.random_coef = getattr(self.head, "random", 0.0)
+
+        n_imgs = len(train_paths)
+        self.iter_per_epoch = max(int(n_imgs / self.net.optimizer_batch + 0.5),
+                                  1)
+        self.net.max_iter = self.iter_per_epoch * max(self.net.max_epoch, 1)
+
+        self.loader = DetectionLoader(
+            train_paths, w=self.net.w, h=self.net.h,
+            batch=self.net.optimizer_batch, boxes=self.max_boxes,
+            classes=classes, jitter=self.jitter, hue=self.net.hue,
+            saturation=self.net.saturation, exposure=self.net.exposure,
+            flip=self.net.flip, blur=self.net.blur,
+            gaussian_noise=self.net.gaussian_noise, mixup=self.net.mixup,
+            threads=loader_threads, seed=seed)
+
+        self._step_cache: dict = {}
+        self._graph_cache: dict = {}
+
+    @property
+    def curr_iter(self) -> int:
+        return self.seen // max(self.net.optimizer_batch, 1)
+
+    # ------------------------------------------------------------------
+    def _step_for(self, w: int, h: int):
+        """Per-resolution jitted step (multi-scale re-jit, cached)."""
+        key = (w, h)
+        if key not in self._step_cache:
+            if (w, h) == (self.net.w, self.net.h):
+                g = self.graph
+            else:
+                g = self._graph_cache.get(key)
+                if g is None:
+                    # rebuild the graph at the new input size (the compiler
+                    # equivalent of ResizeNetwork, network.cpp:255-410)
+                    import re
+
+                    cfg = self.cfg
+                    cfg = re.sub(r"(?m)^width=.*$", f"width={w}", cfg)
+                    cfg = re.sub(r"(?m)^height=.*$", f"height={h}", cfg)
+                    g = build_graph(cfg, train=True)
+                    g.net.max_iter = self.net.max_iter
+                    self._graph_cache[key] = g
+            if self.mesh is not None:
+                from darknet_tpu.parallel import make_dp_train_step
+
+                step = make_dp_train_step(g, self.mesh,
+                                          compute_dtype=self.compute_dtype,
+                                          donate=False)
+            else:
+                step = make_train_step(g, compute_dtype=self.compute_dtype,
+                                       donate=False)
+            self._step_cache[key] = step
+        return self._step_cache[key]
+
+    def _pick_dims(self, avg_loss) -> tuple:
+        net = self.net
+        if not self.random_coef:
+            return net.w, net.h
+        coef = 1.4 if abs(self.random_coef - 1.0) <= 1e-6 else \
+            self.random_coef
+        rng = np.random.default_rng(self.curr_iter)
+        scale = rng.uniform(1.0, coef)
+        if rng.integers(0, 2):
+            scale = 1.0 / scale
+        step = net.resize_step
+        dim_w = int(round(scale * net.w / step + 1)) * step
+        dim_h = int(round(scale * net.h / step + 1)) * step
+        max_w = int(round(coef * net.w / step + 1)) * step
+        max_h = int(round(coef * net.h / step + 1)) * step
+        if avg_loss < 0 or self.curr_iter > net.max_iter - 100:
+            dim_w, dim_h = max_w, max_h
+        return max(dim_w, step), max(dim_h, step)
+
+    # ------------------------------------------------------------------
+    def train(self, max_iters: int | None = None, map_hook=None):
+        """Run the training loop.  Returns the final avg loss."""
+        net = self.net
+        avg_loss = -1.0
+        best_map = 0.0
+        iter_save = self.curr_iter
+        iter_map = max(net.burn_in, self.curr_iter)
+        map_step = max(100, self.iter_per_epoch)
+        end_iter = net.max_iter if max_iters is None else \
+            min(net.max_iter, self.curr_iter + max_iters)
+        count = 0
+        dim_w, dim_h = net.w, net.h
+        key = jax.random.PRNGKey(0)
+
+        while self.curr_iter < end_iter:
+            if self.random_coef and count % 10 == 0:
+                dim_w, dim_h = self._pick_dims(avg_loss)
+                self.loader.resize(dim_w, dim_h)
+                self.log(f"Resizing: {dim_w} x {dim_h}")
+            count += 1
+
+            t0 = time.perf_counter()
+            x, y = self.loader.next()
+            if x.shape[1:3] != (dim_h, dim_w):
+                # stale pre-resize batch in the double buffer; still valid,
+                # just belongs to the previous bucket
+                dim_h_b, dim_w_b = x.shape[1], x.shape[2]
+            else:
+                dim_h_b, dim_w_b = dim_h, dim_w
+
+            step = self._step_for(dim_w_b, dim_h_b)
+            lr = get_lr(net, self.curr_iter,
+                        rand01=float(np.random.default_rng(
+                            self.curr_iter).uniform()))
+            key, sub = jax.random.split(key)
+            args = (self.params, self.opt_state, jnp.asarray(x),
+                    jnp.asarray(y), sub, jnp.float32(lr))
+            if self.mesh is not None:
+                from darknet_tpu.parallel import replicate, shard_batch
+
+                args = (self.params, self.opt_state,
+                        shard_batch(self.mesh, x), shard_batch(self.mesh, y),
+                        replicate(self.mesh, sub),
+                        replicate(self.mesh, jnp.float32(lr)))
+            self.params, self.opt_state, cost, metrics = step(*args)
+
+            self.seen += net.optimizer_batch
+            loss = float(metrics["loss"])
+            avg_loss = loss if avg_loss < 0 else avg_loss * 0.9 + loss * 0.1
+            it = self.curr_iter
+            dt = time.perf_counter() - t0
+            self.log(f"[{it:04d}] loss: {loss:.2f}, avg loss: "
+                     f"{avg_loss:.2f}, lr: {lr:.2e}, images: "
+                     f"{it * net.optimizer_batch}, {dt:.2f}s/iter")
+
+            if self.calc_map and self.val_paths and \
+                    (it >= iter_map or it == net.max_iter):
+                m = self.evaluate_map()
+                self.log(f"mAP@0.5 = {m * 100:.2f}%")
+                if m > best_map:
+                    best_map = m
+                    self.save(suffix="best")
+                iter_map = it + map_step
+                if map_hook:
+                    map_hook(it, m)
+
+            if it >= iter_save + 1000 or it % 1000 == 0:
+                iter_save = it
+                self.save(suffix=str(it))
+
+        self.save(suffix="final")
+        return avg_loss
+
+    # ------------------------------------------------------------------
+    def evaluate_map(self, iou_thresh: float = 0.5) -> float:
+        """In-training mAP on a weight-copied inference net
+        (net_map/CopyNetWeights, detector.cpp:218-253)."""
+        from darknet_tpu.eval.map import validate_detector
+        from darknet_tpu.nn.network import Network
+
+        g_inf = build_graph(self.cfg, train=False)
+        params = [
+            {k: np.asarray(v) for k, v in p.items()} for p in self.params]
+        params = paramlib.fuse_conv_batchnorm(g_inf, params)
+        net = Network(g_inf, params, fused=True)
+        res = validate_detector(net, self.val_paths, self.classes,
+                                iou_thresh=iou_thresh, progress=False)
+        return res.map
+
+    def save(self, suffix: str = "") -> str:
+        os.makedirs(self.save_dir, exist_ok=True)
+        name = f"{self.save_name}_{suffix}.weights" if suffix \
+            else f"{self.save_name}.weights"
+        path = os.path.join(self.save_dir, name)
+        params = [{k: np.asarray(v) for k, v in p.items()}
+                  for p in self.params]
+        wio.save_weights(self.graph, params, path, seen=self.seen)
+        self.log(f"Saving weights to {path}")
+        return path

@@ -1,0 +1,87 @@
+"""Data-parallel tests on the emulated 8-device CPU mesh: DP step runs,
+and its math matches the single-device step (per-step psum DP is exact)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.parallel import (make_dp_train_step, make_mesh, replicate,
+                                  shard_batch)
+from darknet_tpu.train.step import init_opt_state, make_train_step
+
+CFG = """[net]
+batch=8
+subdivisions=1
+width=32
+height=32
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0005
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=8,8, 16,16
+iou_loss=ciou
+max_delta=5
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = build_graph(CFG, train=True)
+    params = paramlib.init_params(g, seed=0)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((8, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.25, 0.25, 1]
+    return g, params, x, truths
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_step_matches_single_device(setup):
+    g, params, x, truths = setup
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(0.01)
+
+    # single-device
+    step1 = make_train_step(g, donate=False)
+    opt1 = init_opt_state(g, params)
+    p1, o1, c1, m1 = step1(params, opt1, jnp.asarray(x), jnp.asarray(truths),
+                           key, lr)
+
+    # 8-device DP
+    mesh = make_mesh(8)
+    pr = replicate(mesh, params)
+    opt8 = replicate(mesh, init_opt_state(g, params))
+    step8 = make_dp_train_step(g, mesh, donate=False)
+    p8, o8, c8, m8 = step8(pr, opt8, shard_batch(mesh, x),
+                           shard_batch(mesh, truths),
+                           replicate(mesh, key), replicate(mesh, lr))
+
+    np.testing.assert_allclose(float(c1), float(c8), rtol=1e-4)
+    for a, b in zip(p1, p8):
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=2e-4, atol=2e-6)
+    assert int(m1["count"]) == int(m8["count"]) == 8

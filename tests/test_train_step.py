@@ -1,0 +1,129 @@
+"""Training-step integration tests: a tiny conv+yolo net must learn to
+predict a fixed box (objectness rises at the target cell, falls elsewhere),
+with BN rolling stats updating and momentum state accumulating."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.nn.emit import make_forward
+from darknet_tpu.ops import yolo as yoloops
+from darknet_tpu.train.step import init_opt_state, make_train_step
+
+CFG = """[net]
+batch=2
+subdivisions=1
+width=32
+height=32
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0005
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=8,8, 16,16
+ignore_thresh=.5
+iou_loss=ciou
+max_delta=5
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = build_graph(CFG, train=True)
+    params = paramlib.init_params(g, seed=0)
+    return g, params
+
+
+def test_train_step_learns(setup, rng):
+    g, params0 = setup
+    params = [dict(p) for p in params0]
+    step = make_train_step(g, donate=False)
+    opt_state = init_opt_state(g, params)
+
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((2, 4, 5), np.float32)
+    truths[:, 0] = [0.55, 0.55, 0.25, 0.25, 1]     # one box, class 1
+
+    head = g.heads()[0]
+    fwd = make_forward(g, train=False)
+
+    def obj_at_target(p):
+        r = fwd(p, jnp.asarray(x))
+        act = yoloops.yolo_activate(r["heads"][0], head)
+        v = np.asarray(act).reshape(2, 8, 8, 2, 8)
+        return v[:, 4, 4, :, 4]                    # cell (j=4,i=4) objness
+
+    before = obj_at_target(params)
+    costs = []
+    key = jax.random.PRNGKey(0)
+    for it in range(30):
+        params, opt_state, cost, metrics = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(truths),
+            key, 0.01)
+        costs.append(float(cost))
+    after = obj_at_target(params)
+
+    assert np.all(np.isfinite(costs))
+    assert costs[-1] < costs[0]
+    # objectness at the target cell must increase for the matched anchor
+    assert after.max() > before.max()
+    assert int(metrics["count"]) == 2              # one truth per image
+
+
+def test_bn_rolling_stats_update(setup, rng):
+    g, params0 = setup
+    params = [dict(p) for p in params0]
+    step = make_train_step(g, donate=False)
+    opt_state = init_opt_state(g, params)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((2, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.2, 0.2, 0]
+
+    mean_before = np.asarray(params[0]["mean"]).copy()
+    params2, _, _, _ = step(params, opt_state, jnp.asarray(x),
+                            jnp.asarray(truths), jax.random.PRNGKey(1), 0.0)
+    mean_after = np.asarray(params2[0]["mean"])
+    assert not np.allclose(mean_before, mean_after)
+    # lr=0: weights unchanged, only BN stats move
+    np.testing.assert_allclose(np.asarray(params[0]["w"]),
+                               np.asarray(params2[0]["w"]))
+
+
+def test_momentum_accumulates(setup, rng):
+    g, params0 = setup
+    params = [dict(p) for p in params0]
+    step = make_train_step(g, donate=False)
+    opt_state = init_opt_state(g, params)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((2, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.2, 0.2, 0]
+    _, opt_state2, _, _ = step(params, opt_state, jnp.asarray(x),
+                               jnp.asarray(truths), jax.random.PRNGKey(2),
+                               0.01)
+    u = opt_state2["u"][0]["w"]
+    assert float(jnp.sum(jnp.abs(u))) > 0
