@@ -23,6 +23,10 @@ BASELINE_IMG_S = 800.0   # 2x A100-TensorRT yolov4-608
 
 
 def main():
+    from darknet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

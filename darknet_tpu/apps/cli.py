@@ -1,0 +1,299 @@
+"""Command-line interface — the `yolo_core` executable's 5 modes
+(yolo_core.cpp:139-399): train | valid | image | video | multi-video.
+
+Flags mirror the gflags surface (yolo_core.cpp:24-42); run e.g.::
+
+    python -m darknet_tpu.apps.cli -mode image -data_file coco.data \
+        -model_file yolov4.cfg -weights_file yolov4.weights \
+        -input_file dog.jpg -thresh 0.25
+
+Flags accept both `-flag value` and `--flag=value` like gflags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="yolo_core", description=__doc__, prefix_chars="-",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("-mode", "--mode", default="video",
+                   choices=["train", "valid", "image", "video",
+                            "multi-video", "bench"])
+    p.add_argument("-data_file", "--data_file", default="yolo.data")
+    p.add_argument("-model_file", "--model_file", default="yolo.cfg")
+    p.add_argument("-weights_file", "--weights_file", default="yolo.weights")
+    p.add_argument("-input_file", "--input_file", default="test.avi",
+                   help="comma-separated for multiple files")
+    p.add_argument("-thresh", "--thresh", type=float, default=0.5)
+    p.add_argument("-nms_thresh", "--nms_thresh", type=float, default=0.45)
+    p.add_argument("-clear", "--clear", action="store_true")
+    p.add_argument("-show_imgs", "--show_imgs", action="store_true")
+    p.add_argument("-save_output", "--save_output", action="store_true")
+    p.add_argument("-calc_map", "--calc_map", action="store_true",
+                   default=True)
+    p.add_argument("-no_calc_map", "--no_calc_map", dest="calc_map",
+                   action="store_false")
+    p.add_argument("-disable_tracking", "--disable_tracking",
+                   action="store_true")
+    p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
+                   default=0)
+    p.add_argument("-num_chips", "--num_chips", "-num_gpus", "--num_gpus",
+                   type=int, default=1, dest="num_chips")
+    p.add_argument("-geo_info_file", "--geo_info_file", default="")
+    p.add_argument("-out_dir", "--out_dir", default="output")
+    return p
+
+
+def _load_metadata(args):
+    from darknet_tpu.config.metadata import Metadata
+
+    return Metadata.from_file(args.data_file)
+
+
+def _load_network(args, train=False):
+    from darknet_tpu.nn.network import Network
+
+    weights = args.weights_file if os.path.exists(args.weights_file) else None
+    return Network.from_cfg(args.model_file, weights=weights, train=train,
+                            clear=args.clear)
+
+
+def _proc_frame(net, md, frame_bgr, args, track_manager=None,
+                display=None):
+    """ProcImage (yolo_core.cpp:104-137): resize -> predict -> NMS ->
+    most-prob dets -> track/draw."""
+    import cv2
+
+    from darknet_tpu.apps.tracker import get_most_prob_dets
+    from darknet_tpu.apps import visualize as viz
+
+    if display is None:
+        display = frame_bgr.copy()
+    rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    resized = cv2.resize(rgb, (net.net.w, net.net.h),
+                         interpolation=cv2.INTER_LINEAR)
+    dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
+    most_prob = get_most_prob_dets(dets)
+
+    disp_rgb = cv2.cvtColor(display, cv2.COLOR_BGR2RGB)
+    if track_manager is not None:
+        track_manager.track(most_prob)
+        tracks = track_manager.get_tracks()
+        viz.draw_trackings(disp_rgb, tracks, md.names)
+    else:
+        viz.draw_detections(disp_rgb, most_prob, md.names)
+    return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
+
+
+def mode_train(args):
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    md = _load_metadata(args)
+    train_paths = md.load_paths("train")
+    val_paths = md.load_paths("valid") if (args.calc_map and md.valid_list) \
+        else []
+    mesh = None
+    if args.num_chips > 1:
+        from darknet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_chips)
+    with open(args.model_file) as f:
+        cfg_text = f.read()
+    trainer = DetectorTrainer(
+        cfg_text, train_paths,
+        weights=args.weights_file if os.path.exists(args.weights_file)
+        else None,
+        classes=md.classes, clear=args.clear, mesh=mesh,
+        calc_map=args.calc_map and bool(val_paths), val_paths=val_paths,
+        save_dir=md.backup_dir,
+        save_name=os.path.splitext(os.path.basename(args.model_file))[0])
+    trainer.train()
+
+
+def mode_valid(args):
+    from darknet_tpu.eval.map import validate_detector
+
+    md = _load_metadata(args)
+    net = _load_network(args)
+    paths = md.load_paths("valid")
+    res = validate_detector(net, paths, md.classes, iou_thresh=0.5)
+    print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")
+    print(f" Recall: {res.recall:.4g}%\n Precision: {res.precision:.4g}%")
+    for cid, ap in enumerate(res.per_class_ap):
+        print(f" cid = {cid}, name = {md.names[cid]}, ap = {ap * 100:.4g}%")
+    print(f"\n mAP@0.5: {res.map * 100:.4g}%")
+    print(f" Total prediction time: {res.pred_time_s:.4g}s")
+    print(f" Prediction per second: {res.imgs_per_s:.4g}")
+    return res.map
+
+
+def mode_image(args):
+    import cv2
+
+    md = _load_metadata(args)
+    net = _load_network(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path in args.input_file.split(","):
+        if not path:
+            continue
+        frame = cv2.imread(path)
+        if frame is None:
+            print(f"could not read {path}", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        display, dets = _proc_frame(net, md, frame, args)
+        dt = (time.perf_counter() - t0) * 1000
+        print(f"{path}: {len(dets)} objects, {dt:.1f} ms")
+        for d in dets:
+            print(f"  {md.names[d.cid]}: {d.prob * 100:.0f}%")
+        out = os.path.join(args.out_dir,
+                           "det_" + os.path.basename(path))
+        cv2.imwrite(out, display)
+        print(f"  saved {out}")
+
+
+def mode_video(args):
+    import cv2
+
+    from darknet_tpu.apps import visualize as viz
+    from darknet_tpu.apps.tracker import ConfParam, TrackManager
+
+    md = _load_metadata(args)
+    net = _load_network(args)
+    path = args.input_file.split(",")[0]
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        print(f"could not open {path}", file=sys.stderr)
+        return
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    max_frame = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    tm = None
+    if not args.disable_tracking:
+        tm = TrackManager(ConfParam.from_fps(fps), fps, 0.3)
+
+    writer = None
+    curr = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        t0 = time.perf_counter()
+        display, _ = _proc_frame(net, md, frame, args, track_manager=tm)
+        dt = (time.perf_counter() - t0) * 1000
+        viz_bgr = display
+        rgb = cv2.cvtColor(viz_bgr, cv2.COLOR_BGR2RGB)
+        viz.draw_proc_time(rgb, dt)
+        viz.draw_frame_info(rgb, curr, max_frame)
+        viz_bgr = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+        if args.save_output:
+            if writer is None:
+                os.makedirs(args.out_dir, exist_ok=True)
+                out = os.path.join(
+                    args.out_dir,
+                    os.path.splitext(os.path.basename(path))[0] + "_out.mp4")
+                writer = cv2.VideoWriter(
+                    out, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                    (viz_bgr.shape[1], viz_bgr.shape[0]))
+            writer.write(viz_bgr)
+        curr += 1
+    cap.release()
+    if writer is not None:
+        writer.release()
+    print(f"processed {curr} frames")
+
+
+def mode_multi_video(args):
+    """N cameras, N trackers, handover crosstalk between two cameras' zones
+    (yolo_core.cpp:276-392): frames processed sequentially through ONE
+    network."""
+    import cv2
+
+    from darknet_tpu.apps.geo import GeoInfo, Handover
+    from darknet_tpu.apps.tracker import ConfParam, TrackManager
+
+    md = _load_metadata(args)
+    net = _load_network(args)
+    files = [f for f in args.input_file.split(",") if f]
+    caps = [cv2.VideoCapture(f) for f in files]
+    fps = caps[0].get(cv2.CAP_PROP_FPS) or 30.0 if caps else 30.0
+    tms = [TrackManager(ConfParam.from_fps(fps), fps, 0.3) for _ in files]
+    geos = []
+    for f in files:
+        g = GeoInfo()
+        xml = args.geo_info_file or os.path.splitext(f)[0] + ".xml"
+        if os.path.exists(xml):
+            g.load(xml, fps=fps)
+        geos.append(g)
+
+    writers = [None] * len(files)
+    curr = 0
+    while True:
+        frames = []
+        done = False
+        for cap in caps:
+            ok, frame = cap.read()
+            if not ok:
+                done = True
+                break
+            frames.append(frame)
+        if done:
+            break
+        for i, frame in enumerate(frames):
+            display, _ = _proc_frame(net, md, frame, args,
+                                     track_manager=tms[i])
+            geos[i].proc(tms[i].get_tracks())
+            if args.save_output:
+                if writers[i] is None:
+                    os.makedirs(args.out_dir, exist_ok=True)
+                    out = os.path.join(
+                        args.out_dir,
+                        os.path.splitext(os.path.basename(files[i]))[0]
+                        + "_out.mp4")
+                    writers[i] = cv2.VideoWriter(
+                        out, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (display.shape[1], display.shape[0]))
+                writers[i].write(display)
+        # cross-camera label handover between the first two cameras' zones
+        if len(geos) >= 2 and geos[0].handovers and geos[1].handovers:
+            Handover.crosstalk(geos[0].handovers[0], geos[1].handovers[0])
+        curr += 1
+    for cap in caps:
+        cap.release()
+    for wr in writers:
+        if wr is not None:
+            wr.release()
+    print(f"processed {curr} frames from {len(files)} cameras")
+
+
+def main(argv=None):
+    from darknet_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    if args.mode == "train":
+        mode_train(args)
+    elif args.mode == "valid":
+        mode_valid(args)
+    elif args.mode == "image":
+        mode_image(args)
+    elif args.mode == "video":
+        mode_video(args)
+    elif args.mode == "multi-video":
+        mode_multi_video(args)
+    elif args.mode == "bench":
+        import bench
+
+        bench.main()
+
+
+if __name__ == "__main__":
+    main()

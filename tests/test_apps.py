@@ -1,0 +1,148 @@
+"""Vision-apps tests: tracker lifecycle, association, geo zones, visualize,
+and the CLI image mode end-to-end with a tiny net."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from darknet_tpu.apps.geo import (GeoInfo, Handover, ParkingLot,
+                                  is_in_polygon, polygon_area)
+from darknet_tpu.apps.tracker import (ConfParam, MostProbDet, Track,
+                                      TrackManager, STATIONARY)
+
+
+def _det(x, y, w=0.1, h=0.1, cid=0, prob=0.95):
+    return MostProbDet(bbox=(x, y, w, h), cid=cid, prob=prob)
+
+
+def test_track_spawn_and_retire():
+    tm = TrackManager(ConfParam(1, 3, 6), fps=15, iou_thresh=0.3)
+    tm.track([_det(0.5, 0.5)])
+    assert len(tm.tracks) == 1
+    # no detections: confidence decays to zero and the track retires
+    for _ in range(5):
+        tm.track([])
+    assert len(tm.tracks) == 0
+
+
+def test_track_follows_moving_object():
+    tm = TrackManager(ConfParam(1, 3, 6), fps=15, iou_thresh=0.3)
+    for i in range(12):
+        x = 0.3 + i * 0.01
+        tm.track([_det(x, 0.5)])
+    assert len(tm.tracks) == 1
+    t = tm.tracks[0]
+    assert t.label >= 0                     # labeled after min_conf frames
+    assert abs(t.bbox[0] - 0.41) < 0.05     # tracked the motion
+    assert t.conf == 6                      # capped at max_conf
+
+
+def test_track_association_two_objects():
+    tm = TrackManager(ConfParam(1, 3, 6), fps=15, iou_thresh=0.3)
+    for i in range(6):
+        tm.track([_det(0.2, 0.2), _det(0.8, 0.8)])
+    assert len(tm.tracks) == 2
+    xs = sorted(t.bbox[0] for t in tm.tracks)
+    assert abs(xs[0] - 0.2) < 0.05 and abs(xs[1] - 0.8) < 0.05
+
+
+def test_track_goes_stationary():
+    tm = TrackManager(ConfParam(1, 2, 4), fps=3, iou_thresh=0.3)
+    for _ in range(10):
+        tm.track([_det(0.5, 0.5, prob=0.95)])
+    assert tm.tracks[0].status == STATIONARY
+
+
+def test_polygon_helpers():
+    square = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8)]
+    assert is_in_polygon(square, (0.5, 0.5))
+    assert not is_in_polygon(square, (0.9, 0.5))
+    assert abs(polygon_area(square) - 0.36) < 1e-6
+
+
+def test_geo_xml_and_parking(tmp_path):
+    xml = tmp_path / "zones.xml"
+    xml.write_text("""<polygons>
+      <polygon><name>P1</name><num>4</num>
+        <x0>0.2</x0><y0>0.2</y0><x1>0.8</x1><y1>0.2</y1>
+        <x2>0.8</x2><y2>0.8</y2><x3>0.2</x3><y3>0.8</y3></polygon>
+      <polygon><name>HANDOVER</name><num>4</num>
+        <x0>0.0</x0><y0>0.0</y0><x1>0.3</x1><y1>0.0</y1>
+        <x2>0.3</x2><y2>1.0</y2><x3>0.0</x3><y3>1.0</y3></polygon>
+    </polygons>""")
+    geo = GeoInfo().load(str(xml), fps=3)
+    assert len(geo.parking_lots) == 1
+    assert len(geo.handovers) == 1
+
+    # a stationary track inside P1 starts the occupancy timer
+    tm = TrackManager(ConfParam(1, 2, 4), fps=3, iou_thresh=0.3)
+    for _ in range(10):
+        tm.track([_det(0.5, 0.5, prob=0.95)])
+    geo.proc(tm.get_tracks())
+    assert geo.parking_lots[0].curr_occ.start != 0
+
+
+def test_handover_crosstalk():
+    poly = [(0.0, 0.0), (0.3, 0.0), (0.3, 1.0), (0.0, 1.0)]
+    h1 = Handover("HANDOVER", poly, fps=3)
+    h2 = Handover("HANDOVER", poly, fps=3)
+
+    tm1 = TrackManager(ConfParam(1, 2, 4), fps=3, iou_thresh=0.3)
+    for _ in range(5):
+        tm1.track([_det(0.15, 0.5)])       # old track exiting cam1's zone
+    t1 = tm1.tracks[0]
+    t1.count = 100                         # old track -> exit queue
+    h1.proc([t1])
+    assert len(h1.exit) == 1
+
+    tm2 = TrackManager(ConfParam(1, 2, 4), fps=3, iou_thresh=0.3)
+    tm2.track([_det(0.15, 0.5)])           # brand-new track in cam2's zone
+    t2 = tm2.tracks[0]
+    h2.proc([t2])
+    assert len(h2.enter) == 1
+
+    Handover.crosstalk(h1, h2)
+    assert t2.label == t1.label            # label transferred
+    assert t2.enter_status and t1.exit_status
+
+
+def test_visualize_draws(tmp_path):
+    from darknet_tpu.apps import visualize as viz
+
+    img = np.zeros((240, 320, 3), np.uint8)
+    dets = [_det(0.5, 0.5, 0.3, 0.3, cid=1)]
+    out = viz.draw_detections(img.copy(), dets, ["a", "b", "c"])
+    assert out.sum() > 0
+    chart = viz.draw_loss_chart([0, 10, 20], [4.0, 2.0, 1.0],
+                                max_iter=100, path=str(tmp_path / "c.png"))
+    assert (tmp_path / "c.png").exists()
+    assert chart.shape == (720, 1000, 3)
+
+
+def test_cli_image_mode(tmp_path, fixtures_dir):
+    """End-to-end CLI: image mode with yolov3-tiny random weights."""
+    import cv2
+
+    img = np.full((240, 320, 3), 127, np.uint8)
+    cv2.rectangle(img, (100, 60), (220, 180), (30, 200, 30), -1)
+    img_path = str(tmp_path / "t.jpg")
+    cv2.imwrite(img_path, img)
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+
+    from darknet_tpu.apps.cli import main
+
+    main(["-mode", "image",
+          "-data_file", str(data),
+          "-model_file", os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+          "-weights_file", "/nonexistent",
+          "-input_file", img_path,
+          "-thresh", "0.3",
+          "-out_dir", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "det_t.jpg").exists()
