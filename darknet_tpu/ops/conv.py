@@ -122,6 +122,10 @@ def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
     else:
         y = y + p["b"]
 
+    if compute_dtype is not None and not train:
+        # fast path: run the activation (and the next layer's input) at the
+        # compute dtype — bf16 VPU throughput is 2x f32
+        y = y.astype(compute_dtype)
     y = apply_activation(y, l.activation)
     if getattr(l, "antialiasing", 0):
         y = antialias_blur(y, l)

@@ -21,8 +21,13 @@ from jax import lax
 from darknet_tpu.ops.conv import antialias_blur
 
 
-def maxpool(x, l):
-    """Darknet maxpool on NHWC input, per MaxpoolIR `l`."""
+def maxpool(x, l, train: bool = False):
+    """Darknet maxpool on NHWC input, per MaxpoolIR `l`.
+
+    Inference uses `lax.reduce_window` (one fused VPU pass — essential for
+    the SPP's 13x13 stride-1 pools); training uses the equivalent max of
+    shifted slices, which has a reverse-mode derivative.
+    """
     if l.maxpool_depth:
         b, h, w, c = x.shape
         out_c = l.out_channels
@@ -38,9 +43,16 @@ def maxpool(x, l):
     lo = l.pad // 2
     hi_h = max((l.out_h - 1) * l.stride_y + l.size - l.h - lo, 0)
     hi_w = max((l.out_w - 1) * l.stride_x + l.size - l.w - lo, 0)
-    # max over size^2 shifted strided slices: equivalent to reduce_window
-    # but reverse-mode differentiable (reduce_window has no VJP here) and
-    # fully fusable by XLA.
+    if not train:
+        neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+        return lax.reduce_window(
+            x, neg_inf, lax.max,
+            window_dimensions=(1, l.size, l.size, 1),
+            window_strides=(1, l.stride_y, l.stride_x, 1),
+            padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
+        )
+    # training: max over size^2 shifted strided slices — same result,
+    # reverse-mode differentiable (reduce_window has no VJP here)
     xp = jnp.pad(x, ((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
                  constant_values=-jnp.inf)
     out = None
@@ -52,8 +64,8 @@ def maxpool(x, l):
     return out
 
 
-def maxpool_block(x, l):
-    y = maxpool(x, l)
+def maxpool_block(x, l, train: bool = False):
+    y = maxpool(x, l, train=train)
     if l.antialiasing:
         y = antialias_blur(y, l)
     return y

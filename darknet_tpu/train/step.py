@@ -41,8 +41,7 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     if use_adam is None:
         use_adam = net.adam
     fwd = make_forward(graph, train=True, compute_dtype=compute_dtype)
-    heads = [l for l in graph.heads() if l.kind == "yolo"]
-    head_idx = [l.index for l in graph.layers if l.kind == "yolo"]
+    heads = [l for l in graph.heads() if l.kind in ("yolo", "gaussian_yolo")]
     loss_scale = net.loss_scale
 
     def step(params, opt_state, x, truths, rng, lr):
@@ -54,8 +53,15 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
 
         deltas, costs, metrics_list = [], [], []
         for raw, l in zip(raw_heads, heads):
-            d, c, m = yolo_head_delta(raw.astype(jnp.float32), truths, l,
-                                      net.w, net.h)
+            if l.kind == "gaussian_yolo":
+                from darknet_tpu.train.gaussian_yolo_loss import \
+                    gaussian_yolo_head_delta
+
+                d, c, m = gaussian_yolo_head_delta(
+                    raw.astype(jnp.float32), truths, l, net.w, net.h)
+            else:
+                d, c, m = yolo_head_delta(raw.astype(jnp.float32), truths, l,
+                                          net.w, net.h)
             deltas.append(d.astype(raw.dtype) * loss_scale)
             costs.append(c)
             metrics_list.append(m)

@@ -1,0 +1,32 @@
+"""Device-postprocess path vs host path agreement on yolov3-tiny."""
+
+import os
+
+import numpy as np
+import pytest
+
+from darknet_tpu.nn.network import Network
+
+
+def test_device_matches_host_path(rng):
+    cfg = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "yolov3-tiny.cfg")
+    net = Network.from_cfg(cfg, seed=5)
+    x = rng.uniform(0, 1, (1, 416, 416, 3)).astype(np.float32)
+
+    host = net.detect_batch(x, thresh=0.3, nms=0.45)[0]
+    dev = net.detect_batch_device(x, thresh=0.3, nms=0.45, top_k=256)[0]
+
+    # same surviving detections (device is top-k limited; with random
+    # weights at 0.3 the count is far below 256)
+    def keyset(dets):
+        return {(round(d.bbox[0], 4), round(d.bbox[1], 4),
+                 int(np.argmax(d.prob))) for d in dets}
+
+    assert len(dev) == len(host)
+    assert keyset(dev) == keyset(host)
+    # probabilities match
+    h_sorted = sorted(host, key=lambda d: -d.objectness)
+    d_sorted = sorted(dev, key=lambda d: -d.objectness)
+    for a, b in zip(h_sorted, d_sorted):
+        np.testing.assert_allclose(a.prob, b.prob, rtol=1e-4, atol=1e-5)
