@@ -78,20 +78,33 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                 cid = int(row[0])
                 if 0 <= cid < classes:
                     num_gt_class[cid] += 1
-            for d in dets:
-                probs = np.asarray(d.prob)
-                for cid in np.nonzero(
-                        np.abs(probs) >= np.finfo(np.float32).eps)[0]:
-                    gt_idx, max_iou = -1, 0.0
-                    for k, row in enumerate(gt):
-                        if int(row[0]) != cid:
-                            continue
-                        iou = _iou_single(d.bbox, row[1:5])
-                        if iou > iou_thresh and iou > max_iou:
-                            max_iou = iou
-                            gt_idx = num_gt + k
-                    val_boxes.append((float(probs[cid]), int(cid),
-                                      gt_idx > -1, gt_idx))
+            if dets:
+                from darknet_tpu.utils.native import match_dets_native
+
+                d_boxes = np.asarray([d.bbox for d in dets], np.float32)
+                d_probs = np.stack([np.asarray(d.prob) for d in dets])
+                rows = match_dets_native(d_boxes, d_probs, gt, iou_thresh)
+                if rows is not None:
+                    for prob, cid, gt_idx in rows:
+                        gi = int(gt_idx)
+                        val_boxes.append(
+                            (float(prob), int(cid), gi > -1,
+                             num_gt + gi if gi > -1 else -1))
+                else:
+                    for d in dets:
+                        probs = np.asarray(d.prob)
+                        for cid in np.nonzero(np.abs(probs) >=
+                                              np.finfo(np.float32).eps)[0]:
+                            gt_idx, max_iou = -1, 0.0
+                            for k, row in enumerate(gt):
+                                if int(row[0]) != cid:
+                                    continue
+                                iou = _iou_single(d.bbox, row[1:5])
+                                if iou > iou_thresh and iou > max_iou:
+                                    max_iou = iou
+                                    gt_idx = num_gt + k
+                            val_boxes.append((float(probs[cid]), int(cid),
+                                              gt_idx > -1, gt_idx))
             num_gt += len(gt)
         if progress:
             print(f"\rCalculating mAP for {start + len(chunk)} samples...",

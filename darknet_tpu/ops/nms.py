@@ -64,8 +64,19 @@ def _np_diou(a, b, beta):
 
 
 def nms_numpy(boxes: np.ndarray, probs: np.ndarray, thresh: float,
-              kind: str = "greedynms", beta: float = 0.6) -> np.ndarray:
-    """Exact NmsSort: boxes (N,4), probs (N,C) -> suppressed probs (N,C)."""
+              kind: str = "greedynms", beta: float = 0.6,
+              allow_native: bool = True) -> np.ndarray:
+    """Exact NmsSort: boxes (N,4), probs (N,C) -> suppressed probs (N,C).
+
+    Dispatches to the native C++ kernel (native/yolo_host) when available —
+    identical semantics, ~100x faster for the mAP validator's thousands of
+    candidates; falls back to pure numpy."""
+    if allow_native:
+        from darknet_tpu.utils.native import nms_native
+
+        out = nms_native(boxes, probs, thresh, kind=kind, beta=beta)
+        if out is not None:
+            return out
     boxes = np.asarray(boxes, dtype=np.float32)
     probs = np.asarray(probs, dtype=np.float32).copy()
     n, c = probs.shape

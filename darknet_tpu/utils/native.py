@@ -1,0 +1,92 @@
+"""ctypes loader for the native host runtime (native/yolo_host).
+
+Builds the shared library on first use (g++ -O3 -march=native) and caches
+it next to the sources; every consumer falls back to the pure-numpy
+implementation when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                    "yolo_host", "yolo_host.cpp")
+_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                    "yolo_host", "libyolo_host.so")
+
+
+def load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.abspath(_SRC)
+    out = os.path.abspath(_OUT)
+    if not os.path.exists(src):
+        return None
+    try:
+        if (not os.path.exists(out)
+                or os.path.getmtime(out) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 src, "-o", out],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(out)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.yolo_nms.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_float, ctypes.c_int,
+                                 ctypes.c_float]
+        lib.yolo_iou_matrix.argtypes = [f32p, ctypes.c_int, f32p,
+                                        ctypes.c_int, f32p]
+        lib.yolo_match_dets.argtypes = [f32p, f32p, ctypes.c_int,
+                                        ctypes.c_int, f32p, ctypes.c_int,
+                                        ctypes.c_float, f32p]
+        lib.yolo_match_dets.restype = ctypes.c_int
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def nms_native(boxes: np.ndarray, probs: np.ndarray, thresh: float,
+               kind: str = "greedynms", beta: float = 0.6):
+    """In-place-semantics native NMS; returns suppressed probs copy or None
+    if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+    probs = np.ascontiguousarray(probs, dtype=np.float32).copy()
+    n, c = probs.shape
+    lib.yolo_nms(_ptr(boxes), _ptr(probs), n, c, thresh,
+                 0 if kind == "greedynms" else 1, beta)
+    return probs
+
+
+def match_dets_native(dets: np.ndarray, det_probs: np.ndarray,
+                      gt: np.ndarray, iou_thresh: float):
+    """Native greedy det->GT matching; returns (prob, cid, gt_idx) rows or
+    None if unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    dets = np.ascontiguousarray(dets, dtype=np.float32)
+    det_probs = np.ascontiguousarray(det_probs, dtype=np.float32)
+    gt = np.ascontiguousarray(gt, dtype=np.float32)
+    nd, nc = det_probs.shape
+    ng = gt.shape[0]
+    out = np.zeros((nd * nc, 3), np.float32)
+    rows = lib.yolo_match_dets(_ptr(dets), _ptr(det_probs), nd, nc,
+                               _ptr(gt), ng, iou_thresh, _ptr(out))
+    return out[:rows]
