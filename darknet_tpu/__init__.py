@@ -22,6 +22,7 @@ from darknet_tpu.config.metadata import Metadata
 from darknet_tpu.graph.builder import build_graph
 from darknet_tpu.graph.ir import NetConfig, LayerIR
 from darknet_tpu.nn.network import Network
+from darknet_tpu.nn.params import fuse_conv_batchnorm
 
 __all__ = [
     "__version__",
@@ -34,4 +35,5 @@ __all__ = [
     "NetConfig",
     "LayerIR",
     "Network",
+    "fuse_conv_batchnorm",
 ]

@@ -63,7 +63,7 @@ def local_block(x, p, l):
 
 
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
-                 fused_bn: bool = False):
+                 fused_bn: bool = False, stem_s2d: bool | None = None):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -77,6 +77,18 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
     n_dropout = sum(1 for l in layers
                     if l.kind == "dropout") if train else 0
 
+    # space-to-depth stem fusion (ops/stem.py): inference-only layout
+    # rewrite of the conv-s1 + conv-s2 opener; needs BN folded and layer 0's
+    # raw output unreferenced by any later route/shortcut
+    if stem_s2d is None:
+        stem_s2d = fused_bn and not train
+    if stem_s2d:
+        from darknet_tpu.ops.stem import stem_pattern
+
+        stem_s2d = stem_pattern(graph) and 0 not in live
+    if stem_s2d:
+        from darknet_tpu.ops.stem import fused_stem
+
     def forward(params, x, rng=None):
         outs: dict[int, jnp.ndarray] = {}
         bn_stats: dict[int, tuple] = {}
@@ -89,7 +101,17 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             drop_rngs = []
         drop_i = 0
 
+        start = 0
+        if stem_s2d:
+            cur = fused_stem(cur, params[0], params[1], layers[0],
+                             layers[1], compute_dtype=compute_dtype)
+            if 1 in live:
+                outs[1] = cur
+            start = 2
+
         for i, l in enumerate(layers):
+            if i < start:
+                continue
             k = l.kind
             if k == "convolutional":
                 src = l.share_index if l.share_index is not None else i

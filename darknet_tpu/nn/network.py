@@ -103,8 +103,17 @@ class Network:
             fused = True
         if clear:
             seen = 0
-        return cls(graph, params, fused=fused, train=train,
-                   compute_dtype=compute_dtype, seen=seen)
+        net = cls(graph, params, fused=fused, train=train,
+                  compute_dtype=compute_dtype, seen=seen)
+        try:
+            if isinstance(cfg, str) and "\n" in cfg:
+                net._cfg_text = cfg
+            else:
+                with open(cfg, "r") as f:
+                    net._cfg_text = f.read()
+        except OSError:
+            net._cfg_text = None
+        return net
 
     @property
     def curr_iter(self) -> int:
@@ -306,6 +315,31 @@ class Network:
                 ))
             results.append(dets)
         return results
+
+    # ------------------------------------------------------------- resize
+    def resize(self, w: int, h: int) -> "Network":
+        """ResizeNetwork (network.cpp:255-410): rebuild the graph at a new
+        input resolution.  Under XLA this is a re-jit — each (w, h) bucket
+        compiles once and is cached; parameters carry over unchanged."""
+        import re
+
+        from darknet_tpu.graph.builder import build_graph
+
+        if (w, h) == (self.net.w, self.net.h):
+            return self
+        # reparse the cfg dialect with patched dimensions: shapes re-derive
+        # exactly like the reference's per-layer Resize* chain
+        cfg = getattr(self, "_cfg_text", None)
+        if cfg is None:
+            raise ValueError("resize requires a Network built from a cfg")
+        cfg = re.sub(r"(?m)^width=.*$", f"width={w}", cfg)
+        cfg = re.sub(r"(?m)^height=.*$", f"height={h}", cfg)
+        graph = build_graph(cfg, train=self.train)
+        net2 = Network(graph, self.params, fused=self.fused,
+                       train=self.train, compute_dtype=self.compute_dtype,
+                       seen=self.seen)
+        net2._cfg_text = cfg
+        return net2
 
     # ----------------------------------------------------------------- io
     def save_weights(self, path, cutoff: int | None = None) -> None:

@@ -42,7 +42,8 @@ class DetectorTrainer:
     def __init__(self, cfg, train_paths, *, weights=None, classes=80,
                  clear=False, mesh=None, compute_dtype=None, seed=0,
                  calc_map=False, val_paths=None, save_dir="backup",
-                 save_name="model", loader_threads=6, log=print):
+                 save_name="model", loader_threads=6, log=print,
+                 metrics_path=None):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         self.cfg = cfg
@@ -89,6 +90,10 @@ class DetectorTrainer:
 
         self._step_cache: dict = {}
         self._graph_cache: dict = {}
+
+        from darknet_tpu.utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(metrics_path, log=log)
 
     @property
     def curr_iter(self) -> int:
@@ -200,11 +205,18 @@ class DetectorTrainer:
             self.log(f"[{it:04d}] loss: {loss:.2f}, avg loss: "
                      f"{avg_loss:.2f}, lr: {lr:.2e}, images: "
                      f"{it * net.optimizer_batch}, {dt:.2f}s/iter")
+            self.metrics.step(
+                it, loss=loss, avg_loss=avg_loss, lr=lr,
+                imgs_per_sec=net.optimizer_batch / max(dt, 1e-9),
+                count=int(metrics["count"]),
+                class_loss=float(metrics["class_loss"]),
+                dims=[dim_w_b, dim_h_b])
 
             if self.calc_map and self.val_paths and \
                     (it >= iter_map or it == net.max_iter):
                 m = self.evaluate_map()
                 self.log(f"mAP@0.5 = {m * 100:.2f}%")
+                self.metrics.map_event(it, m)
                 if m > best_map:
                     best_map = m
                     self.save(suffix="best")
