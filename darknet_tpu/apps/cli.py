@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    type=int, default=1, dest="num_chips")
     p.add_argument("-geo_info_file", "--geo_info_file", default="")
     p.add_argument("-out_dir", "--out_dir", default="output")
+    p.add_argument("-letter_box", "--letter_box", action="store_true",
+                   help="aspect-preserving letterbox resize at inference")
+    p.add_argument("-metrics_file", "--metrics_file", default="",
+                   help="JSONL per-step training metrics output")
     return p
 
 
@@ -78,8 +82,13 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
     if display is None:
         display = frame_bgr.copy()
     rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
-    resized = cv2.resize(rgb, (net.net.w, net.net.h),
-                         interpolation=cv2.INTER_LINEAR)
+    if getattr(args, "letter_box", False):
+        from darknet_tpu.data.image import letterbox_image
+
+        resized = letterbox_image(rgb, net.net.w, net.net.h)
+    else:
+        resized = cv2.resize(rgb, (net.net.w, net.net.h),
+                             interpolation=cv2.INTER_LINEAR)
     dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
     most_prob = get_most_prob_dets(dets)
 
@@ -114,7 +123,8 @@ def mode_train(args):
         classes=md.classes, clear=args.clear, mesh=mesh,
         calc_map=args.calc_map and bool(val_paths), val_paths=val_paths,
         save_dir=md.backup_dir,
-        save_name=os.path.splitext(os.path.basename(args.model_file))[0])
+        save_name=os.path.splitext(os.path.basename(args.model_file))[0],
+        metrics_path=args.metrics_file or None)
     trainer.train()
 
 
@@ -123,6 +133,12 @@ def mode_valid(args):
 
     md = _load_metadata(args)
     net = _load_network(args)
+    if args.benchmark_layers:
+        from darknet_tpu.utils.profiler import benchmark_layers
+
+        benchmark_layers(net.graph, net.params,
+                         compute_dtype=net.compute_dtype,
+                         fused_bn=net.fused)
     paths = md.load_paths("valid")
     res = validate_detector(net, paths, md.classes, iou_thresh=0.5)
     print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")

@@ -338,6 +338,17 @@ def _parse_yolo_common(s: Section, l: YoloIR) -> None:
     l.truth_thresh = s.get_float("truth_thresh", 1.0)
     l.iou_thresh = s.get_float("iou_thresh", 1.0)
     l.random = s.get_float("random", 0.0)
+    map_file = s.get_str("map")
+    if map_file:
+        # class-id remap file (read_map; one target id per line) — applied
+        # to truth class ids in the loss (yolo_layer.cpp:497,673 l->map)
+        try:
+            with open(map_file) as f:
+                l.class_map = tuple(int(x) for x in f.read().split())
+        except OSError:
+            import warnings
+
+            warnings.warn(f"could not read map file {map_file}")
 
 
 def _parse_yolo(s: Section, p: dict, index: int) -> YoloIR:

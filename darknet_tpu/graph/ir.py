@@ -361,6 +361,7 @@ class YoloIR(LayerIR):
     iou_thresh: float = 1.0
     random: float = 0.0
     classes_multipliers: Optional[tuple] = None
+    class_map: Optional[tuple] = None   # cfg `map=` file: truth id remap
 
     @property
     def n(self) -> int:

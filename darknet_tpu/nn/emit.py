@@ -63,7 +63,8 @@ def local_block(x, p, l):
 
 
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
-                 fused_bn: bool = False, stem_s2d: bool | None = None):
+                 fused_bn: bool = False, stem_s2d: bool | None = None,
+                 pack_first_region: bool = False):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -86,8 +87,20 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         from darknet_tpu.ops.stem import stem_pattern
 
         stem_s2d = stem_pattern(graph) and 0 not in live
+    region_plan = None
     if stem_s2d:
         from darknet_tpu.ops.stem import fused_stem
+
+        # NOTE: extending the packing through the first CSP block
+        # (ops/packed_region.py) measured SLOWER on v5e — the dense packed
+        # kernels 4x the FLOPs of the compute-bound 64-channel convs,
+        # outweighing the 2x lane-padding savings.  Opt in explicitly via
+        # pack_first_region=True only for bandwidth-starved cases.
+        if pack_first_region:
+            from darknet_tpu.ops.packed_region import (plan_region,
+                                                       run_region)
+
+            region_plan = plan_region(graph, 2)
 
     def forward(params, x, rng=None):
         outs: dict[int, jnp.ndarray] = {}
@@ -108,6 +121,11 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             if 1 in live:
                 outs[1] = cur
             start = 2
+            if region_plan is not None:
+                cur, start = run_region(graph, params, region_plan, cur,
+                                        outs, compute_dtype=compute_dtype)
+                if (start - 1) in live:
+                    outs[start - 1] = cur
 
         for i, l in enumerate(layers):
             if i < start:

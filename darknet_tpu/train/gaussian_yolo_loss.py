@@ -190,6 +190,9 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
     prefix = jnp.cumprod(nonzero.astype(jnp.int32)) == 1
     cls_ok = (tcls >= 0) & (tcls < classes)
     valid = prefix & cls_ok
+    if l.class_map is not None:
+        tcls = jnp.asarray(l.class_map, jnp.int32)[
+            jnp.clip(tcls, 0, len(l.class_map) - 1)]
 
     pred = _decode_pred_g(v, l, net_w, net_h)
     obj = _nan0(v[..., 8])

@@ -319,6 +319,11 @@ def _yolo_delta_single(v, v_raw, truth, l, net_w, net_h):
     prefix = jnp.cumprod(nonzero.astype(jnp.int32)) == 1
     cls_ok = (tcls >= 0) & (tcls < classes)
     valid = prefix & cls_ok
+    if l.class_map is not None:
+        # cfg `map=`: remap truth ids for the class/multiplier deltas only
+        # (validity checks use the raw id, yolo_layer.cpp:497)
+        tcls = jnp.asarray(l.class_map, jnp.int32)[
+            jnp.clip(tcls, 0, len(l.class_map) - 1)]
 
     pred = _decode_pred(v, l, net_w, net_h)                 # (H,W,A,4)
     obj = _nan0(v[..., 4])                                   # NaN scrub :468

@@ -74,3 +74,20 @@ def test_fused_stem_yolov4_detections(rng):
     for a, b in zip(hp, hf):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_packed_region_optin_exact(rng):
+    """ops/packed_region (opt-in): exact through the first CSP block."""
+    from darknet_tpu import model_zoo
+
+    g = build_graph(model_zoo.yolov4_cfg(224, 224))
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=2))
+    x = rng.uniform(0, 1, (1, 224, 224, 3)).astype(np.float32)
+    plain = make_forward(g, fused_bn=True, stem_s2d=False)
+    packed = make_forward(g, fused_bn=True, stem_s2d=True,
+                          pack_first_region=True)
+    hp = plain(params, jnp.asarray(x))["heads"]
+    hf = packed(params, jnp.asarray(x))["heads"]
+    for a, b in zip(hp, hf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5)
