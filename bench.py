@@ -36,7 +36,7 @@ def main():
     from darknet_tpu.nn.emit import make_forward
     from darknet_tpu.ops import yolo as yoloops
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     size = 608
 
     graph = build_graph(model_zoo.yolov4_cfg(size, size))

@@ -90,6 +90,13 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
         resized = cv2.resize(rgb, (net.net.w, net.net.h),
                              interpolation=cv2.INTER_LINEAR)
     dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
+    if getattr(args, "letter_box", False) and dets:
+        from darknet_tpu.data.image import correct_boxes_letterbox
+
+        ih, iw = frame_bgr.shape[:2]
+        for d in dets:
+            d.bbox = tuple(correct_boxes_letterbox(
+                np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
     most_prob = get_most_prob_dets(dets)
 
     disp_rgb = cv2.cvtColor(display, cv2.COLOR_BGR2RGB)
@@ -140,7 +147,8 @@ def mode_valid(args):
                          compute_dtype=net.compute_dtype,
                          fused_bn=net.fused)
     paths = md.load_paths("valid")
-    res = validate_detector(net, paths, md.classes, iou_thresh=0.5)
+    res = validate_detector(net, paths, md.classes, iou_thresh=0.5,
+                            batch=8 if len(paths) >= 8 else 1)
     print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")
     print(f" Recall: {res.recall:.4g}%\n Precision: {res.precision:.4g}%")
     for cid, ap in enumerate(res.per_class_ap):
@@ -196,11 +204,28 @@ def mode_video(args):
     if not args.disable_tracking:
         tm = TrackManager(ConfParam.from_fps(fps), fps, 0.3)
 
+    # frame prefetch thread: decode the next frame while the TPU computes
+    # (the reference's loader-pool/double-buffer idea applied to streaming)
+    import queue
+    import threading
+
+    frames_q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def _reader():
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                frames_q.put(None)
+                return
+            frames_q.put(f)
+
+    threading.Thread(target=_reader, daemon=True).start()
+
     writer = None
     curr = 0
     while True:
-        ok, frame = cap.read()
-        if not ok:
+        frame = frames_q.get()
+        if frame is None:
             break
         t0 = time.perf_counter()
         display, _ = _proc_frame(net, md, frame, args, track_manager=tm)

@@ -72,6 +72,26 @@ def resize_image_cv(im: np.ndarray, w: int, h: int) -> np.ndarray:
     return cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR)
 
 
+def correct_boxes_letterbox(boxes, img_w: int, img_h: int, net_w: int,
+                            net_h: int):
+    """Map relative center-format boxes from letterboxed net coords back to
+    original-image relative coords (the upstream correct_yolo_boxes
+    analogue; this reference fork never letterboxes, so this exists for our
+    optional letterbox path)."""
+    import numpy as _np
+
+    boxes = _np.asarray(boxes, dtype=_np.float32).copy()
+    scale = min(net_w / img_w, net_h / img_h)
+    nw, nh = img_w * scale, img_h * scale
+    dx = (net_w - nw) / 2 / net_w
+    dy = (net_h - nh) / 2 / net_h
+    boxes[..., 0] = (boxes[..., 0] - dx) / (nw / net_w)
+    boxes[..., 1] = (boxes[..., 1] - dy) / (nh / net_h)
+    boxes[..., 2] = boxes[..., 2] / (nw / net_w)
+    boxes[..., 3] = boxes[..., 3] / (nh / net_h)
+    return boxes
+
+
 def letterbox_image(im: np.ndarray, w: int, h: int) -> np.ndarray:
     """Aspect-preserving resize with 0.5-gray padding (upstream darknet's
     letterbox; offered as an option even though this reference fork does not

@@ -67,10 +67,16 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
             im = load_image_rgb(p)
             imgs.append(resize_image_cv(im, net.net.w, net.net.h))
         x = np.stack(imgs)
+        # pad the ragged last chunk so every batch hits the same executable
+        pad = batch - x.shape[0]
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:],
+                                            x.dtype)])
 
         t0 = time.perf_counter()
         dets_batch = net.detect_batch(x, thresh=thresh, nms=nms)
         pred_time += time.perf_counter() - t0
+        dets_batch = dets_batch[: len(chunk)]
 
         for p, dets in zip(chunk, dets_batch):
             gt = read_box_annot(image_to_label_path(p))

@@ -64,7 +64,7 @@ def local_block(x, p, l):
 
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fused_bn: bool = False, stem_s2d: bool | None = None,
-                 pack_first_region: bool = False):
+                 pack_first_region: bool = False, remat: bool = False):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -141,8 +141,17 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                         if l.batch_normalize else l
                 else:
                     l_eff = l
-                cur, st = conv_block(cur, p, l_eff, train=train,
-                                     compute_dtype=compute_dtype)
+                if train and remat:
+                    # trade FLOPs for HBM: recompute the conv block in the
+                    # backward pass instead of storing its intermediates
+                    block = jax.checkpoint(
+                        lambda x, p, l_eff=l_eff: conv_block(
+                            x, p, l_eff, train=True,
+                            compute_dtype=compute_dtype))
+                    cur, st = block(cur, p)
+                else:
+                    cur, st = conv_block(cur, p, l_eff, train=train,
+                                         compute_dtype=compute_dtype)
                 if st is not None:
                     bn_stats[i] = st
             elif k == "connected":

@@ -31,7 +31,8 @@ from darknet_tpu.train.yolo_loss import yolo_head_delta
 
 
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
-                    donate: bool = True, jit: bool = True):
+                    donate: bool = True, jit: bool = True,
+                    remat: bool = False):
     """Build `train_step(params, opt_state, x, truths, rng, lr)`.
 
     x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).
@@ -40,7 +41,8 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     net = graph.net
     if use_adam is None:
         use_adam = net.adam
-    fwd = make_forward(graph, train=True, compute_dtype=compute_dtype)
+    fwd = make_forward(graph, train=True, compute_dtype=compute_dtype,
+                       remat=remat)
     heads = [l for l in graph.heads() if l.kind in ("yolo", "gaussian_yolo")]
     loss_scale = net.loss_scale
 

@@ -114,3 +114,19 @@ def test_loader_mosaic(dataset):
         assert got_any
     finally:
         loader.close()
+
+
+def test_letterbox_box_correction():
+    from darknet_tpu.data.image import correct_boxes_letterbox
+
+    # 640x480 image into a 416 net: scale=416/640=0.65, nh=312, dy=52/416
+    box = np.array([0.5, 0.5, 0.325, 0.325])   # centered, covers 208px net
+    out = correct_boxes_letterbox(box, 640, 480, 416, 416)
+    np.testing.assert_allclose(out[0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[2], 0.325, atol=1e-6)       # w: nw==net_w
+    np.testing.assert_allclose(out[3], 0.325 * 416 / 312, atol=1e-6)
+    # a box at the top letterbox edge maps to y=0
+    edge = np.array([0.5, 52 / 416, 0.1, 0.1])
+    out2 = correct_boxes_letterbox(edge, 640, 480, 416, 416)
+    np.testing.assert_allclose(out2[1], 0.0, atol=1e-6)

@@ -127,3 +127,26 @@ def test_momentum_accumulates(setup, rng):
                                0.01)
     u = opt_state2["u"][0]["w"]
     assert float(jnp.sum(jnp.abs(u))) > 0
+
+
+def test_remat_matches_plain(setup, rng):
+    """jax.checkpoint remat path: identical math, lower memory."""
+    g, params0 = setup
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((2, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.25, 0.25, 1]
+    key = jax.random.PRNGKey(0)
+
+    outs = []
+    for remat in (False, True):
+        params = [dict(p) for p in params0]
+        step = make_train_step(g, donate=False, remat=remat)
+        opt = init_opt_state(g, params)
+        p, o, c, m = step(params, opt, jnp.asarray(x), jnp.asarray(truths),
+                          key, 0.01)
+        outs.append((p, float(c)))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    for a, b in zip(outs[0][0], outs[1][0]):
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-5, atol=1e-6)
