@@ -29,12 +29,15 @@ BN_EPS = 1e-5
 
 
 def conv2d_raw(x, w, *, stride=(1, 1), padding=((0, 0), (0, 0)),
-               dilation=(1, 1), groups=1, compute_dtype=None):
+               dilation=(1, 1), groups=1, compute_dtype=None,
+               out_dtype=jnp.float32):
     """Plain convolution, NHWC x HWIO -> NHWC, f32 accumulation.
 
     When `compute_dtype` is None the op runs in full f32 (Precision.HIGHEST
     — on TPU that is the 3-pass bf16 scheme, needed for reference parity);
-    pass bf16 for the fast MXU-native production path.
+    pass bf16 for the fast MXU-native production path.  `out_dtype` must
+    equal `compute_dtype` under autodiff (the conv transpose rule requires
+    matching operand/cotangent dtypes).
     """
     precision = None
     if compute_dtype is not None:
@@ -50,7 +53,7 @@ def conv2d_raw(x, w, *, stride=(1, 1), padding=((0, 0), (0, 0)),
         dimension_numbers=_DIMSPEC,
         feature_group_count=groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -105,10 +108,16 @@ def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
     padding = darknet_conv_padding(
         l.size, l.pad, l.dilation, (l.h, l.w), (l.stride_y, l.stride_x),
         (l.out_h, l.out_w))
+    # mixed-precision training: conv emits compute_dtype (cotangent dtype
+    # must match operands under vjp); the BN/bias epilogue runs f32
+    out_dtype = compute_dtype if (train and compute_dtype is not None) \
+        else jnp.float32
     y = conv2d_raw(
         x, p["w"], stride=(l.stride_y, l.stride_x), padding=padding,
         dilation=(l.dilation, l.dilation), groups=l.groups,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, out_dtype=out_dtype)
+    if train and compute_dtype is not None:
+        y = y.astype(jnp.float32)
 
     bn_stats = None
     if l.batch_normalize and "scales" in p:
@@ -164,7 +173,13 @@ def antialias_blur(y, l):
 
 
 def connected_block(x, p, l, *, train: bool = False, compute_dtype=None):
-    """Fully-connected layer (connected_layer.cpp): y = x @ w + b, opt BN."""
+    """Fully-connected layer (connected_layer.cpp): y = x @ w + b, opt BN.
+
+    Darknet weights index the input in CHW-flat order; spatial inputs are
+    transposed from our NHWC before flattening so `.weights` files map
+    element-for-element."""
+    if x.ndim == 4:
+        x = jnp.transpose(x, (0, 3, 1, 2))
     x2 = x.reshape(x.shape[0], -1)
     w = p["w"]
     precision = None

@@ -147,3 +147,140 @@ def test_gaussian_yolov3_parity(harness, tmp_path, rng):
 
     _compare(model_zoo.gaussian_yolov3_cfg(224, 224), tmp_path, harness,
              rng, 224, thresh=0.15)
+
+
+def test_exotic_zoo_parity(harness, tmp_path, rng):
+    """The rarely-exercised layer zoo vs the reference binary: SE-style
+    avgpool+scale_channels gate, reorg3d, antialiased conv (blur sublayer),
+    maxpool_depth, dropout passthrough, upsample with scale, multi-way
+    route, shortcut with leaky activation."""
+    cfg = """[net]
+width=64
+height=64
+channels=3
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=1
+pad=1
+antialiasing=1
+activation=leaky
+
+[shortcut]
+from=-2
+activation=leaky
+
+[reorg3d]
+stride=2
+
+[convolutional]
+filters=64
+size=1
+activation=linear
+
+[maxpool]
+maxpool_depth=1
+out_channels=32
+
+[dropout]
+probability=.3
+
+[avgpool]
+
+[convolutional]
+filters=32
+size=1
+activation=logistic
+
+[scale_channels]
+from=-4
+
+[upsample]
+stride=2
+scale=1.5
+
+[route]
+layers=-1,-9
+
+[convolutional]
+filters=24
+size=1
+activation=linear
+
+[yolo]
+mask=0,1
+num=2
+classes=7
+anchors=10,14, 23,27
+"""
+    _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
+
+
+def test_yolov1_detection_parity(harness, tmp_path, rng):
+    """YOLOv1-era stack (conv/maxpool/connected/detection) raw-output
+    parity vs the reference binary."""
+    import jax
+
+    from darknet_tpu.nn.network import Network
+
+    cfg = """[net]
+width=56
+height=56
+channels=3
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[maxpool]
+size=2
+stride=2
+[connected]
+output=637
+activation=logistic
+[detection]
+classes=3
+coords=4
+rescore=1
+side=7
+num=2
+"""
+    # outputs: 7*7*((1+4)*2+3) = 49*13 = 637
+    cfg_path = str(tmp_path / "v1.cfg")
+    open(cfg_path, "w").write(cfg)
+    weights = str(tmp_path / "v1.weights")
+    net_t = Network.from_cfg(cfg_path, train=True, fuse=False, seed=11)
+    net_t.save_weights(weights)
+
+    x_hwc = rng.uniform(0, 1, (56, 56, 3)).astype(np.float32)
+    _dets, ref_raw = _run_reference(harness, cfg_path, weights, x_hwc,
+                                    thresh=0.2)
+    net = Network.from_cfg(cfg_path, weights=weights, fuse=True)
+    heads, _ = net.forward_heads(x_hwc[None])
+    ours = np.asarray(heads[-1]).ravel()
+    np.testing.assert_allclose(ours, ref_raw, rtol=2e-3, atol=1e-5)
+
+    # decode agreement with our v1 decoder on the same output
+    from darknet_tpu.ops.detection_v1 import detection_decode
+    import jax.numpy as jnp
+
+    l = net.graph.heads()[0]
+    boxes, conf, cls = detection_decode(jnp.asarray(ours[None]), l)
+    assert boxes.shape == (1, 49 * 2, 4)
