@@ -9,7 +9,6 @@ match the per-type `Parse*` functions (`parser.cpp:161-860`).
 
 from __future__ import annotations
 
-import math
 import warnings
 
 from darknet_tpu.config.cfg import Section, parse_cfg_file, parse_cfg_text

@@ -16,7 +16,6 @@ table and `.weights` layout match — while the runtime tensors are NHWC
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 # --------------------------------------------------------------------------

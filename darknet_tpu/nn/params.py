@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from darknet_tpu.ops.conv import fold_bn
 
 
 def init_params(graph, seed: int = 0) -> list:

@@ -26,7 +26,7 @@ formulation.
 
 from __future__ import annotations
 
-import numpy as np
+
 
 import jax.numpy as jnp
 from jax import lax

@@ -20,7 +20,6 @@ outside the gradient path.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

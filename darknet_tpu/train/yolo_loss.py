@@ -33,7 +33,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
 
 from darknet_tpu.ops import boxes as boxops
 
