@@ -35,6 +35,9 @@ class DetectionLoader:
         self.mixup = mixup           # 0=off, 1=mixup, 3=mosaic (net.mixup)
         self.rng = np.random.default_rng(seed)
         self.pool = cf.ThreadPoolExecutor(max_workers=threads)
+        # the batch assembler blocks on sample futures, so it must NOT share
+        # the sample pool (self-starvation deadlock at small pool sizes)
+        self._assembler = cf.ThreadPoolExecutor(max_workers=1)
         self._pending = None
         self._lock = threading.Lock()
         self.resize(w, h)            # no-op; sets current dims
@@ -124,7 +127,7 @@ class DetectionLoader:
     def _kickoff(self):
         seed = int(self.rng.integers(0, 2 ** 31))
         w, h = self.w, self.h
-        self._pending = self.pool.submit(self._make_batch, seed, w, h)
+        self._pending = self._assembler.submit(self._make_batch, seed, w, h)
 
     def next(self):
         """Block for the in-flight batch, immediately start the next one
@@ -136,3 +139,4 @@ class DetectionLoader:
 
     def close(self):
         self.pool.shutdown(wait=False, cancel_futures=True)
+        self._assembler.shutdown(wait=False, cancel_futures=True)

@@ -130,3 +130,22 @@ def test_letterbox_box_correction():
     edge = np.array([0.5, 52 / 416, 0.1, 0.1])
     out2 = correct_boxes_letterbox(edge, 640, 480, 416, 416)
     np.testing.assert_allclose(out2[1], 0.0, atol=1e-6)
+
+
+def test_loader_deterministic_across_thread_counts(dataset):
+    """Per-sample seeding makes batches deterministic regardless of the
+    worker pool size — the race-safety story replacing the reference's
+    hand-rolled mutexes (SURVEY.md §5)."""
+    a = DetectionLoader(dataset, w=64, h=64, batch=3, boxes=8, classes=3,
+                        threads=1, seed=42)
+    b = DetectionLoader(dataset, w=64, h=64, batch=3, boxes=8, classes=3,
+                        threads=4, seed=42)
+    try:
+        for _ in range(3):
+            xa, ya = a.next()
+            xb, yb = b.next()
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+    finally:
+        a.close()
+        b.close()

@@ -85,3 +85,44 @@ def test_dp_step_matches_single_device(setup):
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        rtol=2e-4, atol=2e-6)
     assert int(m1["count"]) == int(m8["count"]) == 8
+
+
+def test_weight_averaging_compat_mode(setup):
+    """Reference SyncNetworks semantics: independent replicas + periodic
+    weight averaging; replicas agree after sync and training progresses."""
+    import jax.numpy as jnp
+
+    from darknet_tpu.parallel.weight_avg import (make_weight_avg_train_step,
+                                                 replicate_params)
+    from darknet_tpu.train.step import init_opt_state
+
+    g, params, x, truths = setup
+    R = 2
+    step, sync = make_weight_avg_train_step(g, R)
+    params_r = replicate_params(params, R)
+    opt_r = replicate_params(init_opt_state(g, params), R)
+
+    xr = jnp.asarray(x.reshape(R, 4, 32, 32, 3))
+    tr = jnp.asarray(truths.reshape(R, 4, 4, 5))
+    key = jax.random.PRNGKey(0)
+    costs = []
+    for it in range(8):
+        params_r, opt_r, cost, _m = step(params_r, opt_r, xr, tr, key,
+                                         jnp.float32(0.01))
+        costs.append(float(jnp.sum(cost)))
+        if (it + 1) % 4 == 0:              # sync_interval=4 (detector.cpp:196)
+            params_r = sync(params_r)
+
+    # replicas identical after sync
+    for p in params_r:
+        for k in p:
+            a = np.asarray(p[k])
+            np.testing.assert_allclose(a[0], a[1], rtol=1e-6, atol=1e-7)
+    assert costs[-1] < costs[0]
+    # replicas diverge between syncs (they saw different shards)
+    params_r, opt_r, _, _ = step(params_r, opt_r, xr, tr, key,
+                                 jnp.float32(0.01))
+    diverged = any(
+        not np.allclose(np.asarray(p[k])[0], np.asarray(p[k])[1])
+        for p in params_r for k in p)
+    assert diverged
