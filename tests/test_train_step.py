@@ -150,3 +150,70 @@ def test_remat_matches_plain(setup, rng):
         for k in a:
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_multiscale_buckets(tmp_path, rng):
+    """Multi-scale training: random=1 triggers resize every 10 iters
+    (detector.cpp:141-183); per-bucket re-jit must handle the stale
+    double-buffered batch from the previous resolution."""
+    import cv2
+    import glob
+    import os
+
+    ds = tmp_path / "ms"
+    os.makedirs(ds)
+    paths = []
+    for i in range(6):
+        img = np.full((100, 140, 3), 90, np.uint8)
+        cv2.rectangle(img, (30, 20), (100, 80), (200, 80, 40), -1)
+        p = str(ds / f"m{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"m{i}.txt"), "w").write("1 0.46 0.5 0.5 0.6\n")
+        paths.append(p)
+
+    cfg = """[net]
+batch=2
+subdivisions=1
+width=64
+height=64
+channels=3
+learning_rate=0.001
+momentum=0.9
+decay=0.0005
+max_epoch=200
+resize_step=32
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=4
+pad=1
+activation=leaky
+[convolutional]
+filters=24
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+num=3
+classes=3
+anchors=30,30, 40,50, 60,60
+random=1
+iou_loss=ciou
+max_delta=5
+"""
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    dims_seen = set()
+    logs = []
+    tr = DetectorTrainer(cfg, paths, classes=3, loader_threads=1,
+                         save_dir=str(tmp_path / "bk"), save_name="ms",
+                         log=logs.append)
+    tr.train(max_iters=22)
+    for rec in logs:
+        if rec.startswith("Resizing:"):
+            dims_seen.add(rec)
+    # at least two distinct resolutions exercised (incl. the forced-max
+    # first bucket), and the run completed without shape errors
+    assert len(dims_seen) >= 2, dims_seen
+    assert len(tr._step_cache) >= 2
