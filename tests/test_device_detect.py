@@ -30,3 +30,18 @@ def test_device_matches_host_path(rng):
     d_sorted = sorted(dev, key=lambda d: -d.objectness)
     for a, b in zip(h_sorted, d_sorted):
         np.testing.assert_allclose(a.prob, b.prob, rtol=1e-4, atol=1e-5)
+
+
+def test_device_path_gaussian(rng):
+    from darknet_tpu import model_zoo
+
+    cfg = model_zoo.gaussian_yolov3_cfg(160, 160, classes=5)
+    net = Network.from_cfg(cfg, seed=4)
+    x = rng.uniform(0, 1, (1, 160, 160, 3)).astype(np.float32)
+    host = net.detect_batch(x, thresh=0.05, nms=0.45)[0]
+    dev = net.detect_batch_device(x, thresh=0.05, nms=0.45, top_k=2048)[0]
+    assert len(dev) == len(host)
+    h_sorted = sorted(host, key=lambda d: -d.objectness)
+    d_sorted = sorted(dev, key=lambda d: -d.objectness)
+    for a, b in zip(h_sorted[:20], d_sorted[:20]):
+        np.testing.assert_allclose(a.prob, b.prob, rtol=1e-4, atol=1e-5)
