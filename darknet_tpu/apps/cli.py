@@ -323,7 +323,7 @@ def main(argv=None):
     if args.mode == "train":
         mode_train(args)
     elif args.mode == "valid":
-        mode_valid(args)
+        return mode_valid(args)
     elif args.mode == "image":
         mode_image(args)
     elif args.mode == "video":

@@ -130,9 +130,10 @@ def image_data_augmentation(img: np.ndarray, w: int, h: int, pleft, ptop,
             hsv = cv2.cvtColor(sized, cv2.COLOR_RGB2HSV)
             hsv[..., 1] *= dsat
             hsv[..., 2] *= dexp
-            hsv[..., 0] += 179 * dhue
-            # float32 HSV: hue in [0,360) for cv2 float path; the reference
-            # operates on 8-bit 0..179 — 179*dhue matches its shift scale
+            # the reference shifts 8-bit hue (0..179) by 179*dhue — a
+            # full-scale fraction of dhue; cv2's float path uses 0..360,
+            # so the equivalent shift is 360*dhue
+            hsv[..., 0] += 360.0 * dhue
             sized = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
         else:
             sized = sized * dexp

@@ -149,3 +149,18 @@ def test_loader_deterministic_across_thread_counts(dataset):
     finally:
         a.close()
         b.close()
+
+
+def test_hue_shift_scale(dataset):
+    """Hue augmentation must shift by a full-scale fraction of dhue
+    (reference: 179*dhue on 0..179 hue; float cv2 path: 360*dhue)."""
+    import cv2
+    from darknet_tpu.data.image import load_image_rgb
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:] = [1.0, 0.0, 0.0]                   # pure red, hue 0
+    out = image_data_augmentation(img, 8, 8, 0, 0, 8, 8, False,
+                                  dhue=1.0 / 3.0, dsat=1.0, dexp=1.0,
+                                  gaussian_noise=0, blur=0, truth=None)
+    # hue shifted by 1/3 of the circle: red -> green
+    assert out[4, 4, 1] > 0.9 and out[4, 4, 0] < 0.1
