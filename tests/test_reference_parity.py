@@ -284,3 +284,57 @@ num=2
     l = net.graph.heads()[0]
     boxes, conf, cls = detection_decode(jnp.asarray(ours[None]), l)
     assert boxes.shape == (1, 49 * 2, 4)
+
+
+def test_share_index_and_asym_stride_parity(harness, tmp_path, rng):
+    """share_index weight sharing (parser.cpp:211-216) and stride_x !=
+    stride_y convs vs the reference binary — also proves the .weights
+    stream skips shared layers identically on both sides."""
+    cfg = """[net]
+width=64
+height=64
+channels=3
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride_x=2
+stride_y=1
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride_x=1
+stride_y=2
+
+[convolutional]
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+share_index=2
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[route]
+layers=-1,-2
+
+[convolutional]
+filters=16
+size=1
+activation=linear
+
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=10,14, 23,27
+"""
+    _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
