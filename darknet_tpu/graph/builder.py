@@ -689,11 +689,20 @@ def build_graph(cfg, train: bool = False) -> Graph:
         elif kind == "upsample":
             stride = s.get_int("stride", 2)
             h, w, c = p["h"], p["w"], p["c"]
+            # negative stride = reverse (block-sum downsample),
+            # FillUpsampleLayer (upsample_layer.c:19-25)
+            reverse = stride < 0
+            if reverse:
+                stride = -stride
+                out_h, out_w = h // stride, w // stride
+            else:
+                out_h, out_w = h * stride, w * stride
             l = UpsampleIR(
                 index=index, h=h, w=w, c=c, inputs=h * w * c,
-                out_h=h * stride, out_w=w * stride, out_c=c,
-                outputs=h * stride * w * stride * c,
+                out_h=out_h, out_w=out_w, out_c=c,
+                outputs=out_h * out_w * c,
                 stride=stride, scale=s.get_float("scale", 1.0),
+                reverse=reverse,
             )
         elif kind == "shortcut":
             l = _parse_shortcut(s, p, index, layers)

@@ -255,6 +255,7 @@ class UpsampleIR(LayerIR):
     kind: str = "upsample"
     stride: int = 2
     scale: float = 1.0
+    reverse: bool = False   # cfg stride<0: block-sum downsample
 
 
 @dataclasses.dataclass

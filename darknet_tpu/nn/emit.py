@@ -179,7 +179,10 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 cur = shapeops.scale_channels(
                     cur, outs[l.from_layer], l.scale_wh, l.activation)
             elif k == "upsample":
-                cur = shapeops.upsample(cur, l.stride, l.scale)
+                if l.reverse:
+                    cur = shapeops.upsample_reverse(cur, l.stride, l.scale)
+                else:
+                    cur = shapeops.upsample(cur, l.stride, l.scale)
             elif k == "reorg":
                 cur = shapeops.reorg3d(cur, l.stride, l.reverse,
                                        (l.out_h, l.out_w, l.out_c))

@@ -338,3 +338,32 @@ classes=3
 anchors=10,14, 23,27
 """
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
+
+
+def test_reverse_upsample_parity(harness, tmp_path, rng):
+    """[upsample] stride=-2 (reverse: block-sum downsample) vs reference."""
+    cfg = """[net]
+width=64
+height=64
+channels=3
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[upsample]
+stride=-2
+scale=0.5
+[convolutional]
+filters=16
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=10,14, 23,27
+"""
+    _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
