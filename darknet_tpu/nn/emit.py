@@ -64,7 +64,9 @@ def local_block(x, p, l):
 
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fused_bn: bool = False, stem_s2d: bool | None = None,
-                 pack_first_region: bool = False, remat: bool = False):
+                 pack_first_region: bool = False, remat: bool = False,
+                 fuse_regions: bool | None = None,
+                 region_interpret: bool = False):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -87,6 +89,28 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         from darknet_tpu.ops.stem import stem_pattern
 
         stem_s2d = stem_pattern(graph) and 0 not in live
+
+    # fused-region Pallas kernels (ops/pallas/fused_region.py): whole
+    # lane-starved CSP stages (incl. the s2d stem) run as single kernels —
+    # one HBM read + one write per stage.  Inference + folded BN only.
+    if fuse_regions is None:
+        fuse_regions = (fused_bn and not train
+                        and jax.default_backend() == "tpu")
+    region_runners = {}
+    region_plans = {}
+    if fuse_regions and not train and fused_bn:
+        from darknet_tpu.ops.pallas.fused_region import (plan_graph_regions,
+                                                         region_runner)
+
+        mode = fuse_regions if isinstance(fuse_regions, str) else "xla"
+        region_plans = plan_graph_regions(graph, stem=stem_s2d)
+        if 0 in region_plans:
+            stem_s2d = False        # superseded by the stem region kernel
+        region_runners = {
+            a: region_runner(p,
+                             compute_dtype=compute_dtype or jnp.float32,
+                             interpret=region_interpret, mode=mode)
+            for a, p in region_plans.items()}
     region_plan = None
     if stem_s2d:
         from darknet_tpu.ops.stem import fused_stem
@@ -127,8 +151,16 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 if (start - 1) in live:
                     outs[start - 1] = cur
 
+        skip_until = start
         for i, l in enumerate(layers):
-            if i < start:
+            if i < skip_until:
+                continue
+            if i in region_runners:
+                plan = region_plans[i]
+                cur = region_runners[i](params, cur)
+                skip_until = plan.stop + 1
+                if plan.stop in live:
+                    outs[plan.stop] = cur
                 continue
             k = l.kind
             if k == "convolutional":

@@ -1,0 +1,169 @@
+"""Fused-region kernel (ops/pallas/fused_region.py): planner invariants and
+numerical parity of both execution modes (monolithic Pallas kernel in
+interpret mode, and the p2-packed XLA conv form) against the plain
+unfused f32 path.
+
+The packed algebra must be EXACT (modulo f32 reduction order): pixel-pair
+packing, tap decomposition, route folding and halo handling are all pure
+reformulations of `convolutional_layer.cpp:1128-1305` semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.nn.emit import make_forward
+from darknet_tpu.ops.pallas import fused_region as fr
+
+# stem + one CSP block + a shortcut-only tail, mixed 1x1/3x3, mish+leaky
+CSP_CFG = """[net]
+batch=1
+subdivisions=1
+width=64
+height=64
+channels=3
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=mish
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=mish
+[route]
+layers = -2
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=mish
+[convolutional]
+batch_normalize=1
+filters=8
+size=1
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=mish
+[shortcut]
+from=-3
+activation=linear
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=mish
+[route]
+layers = -1,-7
+[convolutional]
+batch_normalize=1
+filters=16
+size=1
+stride=1
+pad=1
+activation=mish
+[convolutional]
+filters=12
+size=1
+stride=1
+pad=1
+activation=linear
+[yolo]
+mask=0
+num=1
+classes=7
+anchors=16,16
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = build_graph(CSP_CFG)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=3))
+    x = np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = make_forward(g, fused_bn=True, fuse_regions=False)(params, x)
+    return g, params, x, ref
+
+
+def test_planner_regions(setup):
+    g, *_ = setup
+    plans = fr.plan_graph_regions(g, stem=True)
+    assert 0 in plans
+    p = plans[0]
+    assert p.stem and p.stop == 11     # extends through the head 1x1 conv
+    # halo: stem (3x3 up1/dn1, then 2x2 up1) + one CSP 3x3
+    assert (p.rt, p.rb) == (3, 2)
+    assert p.out_c == 12
+    assert p.tile is not None and p.h % p.tile == 0
+
+
+def test_pallas_kernel_parity(setup):
+    g, params, x, ref = setup
+    f = make_forward(g, fused_bn=True, fuse_regions="pallas",
+                     region_interpret=True)
+    out = f(params, x)
+    np.testing.assert_allclose(np.asarray(out["heads"][0]),
+                               np.asarray(ref["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_xla_packed_parity(setup):
+    g, params, x, ref = setup
+    f = make_forward(g, fused_bn=True, fuse_regions="xla")
+    out = f(params, x)
+    np.testing.assert_allclose(np.asarray(out["heads"][0]),
+                               np.asarray(ref["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_region_skips_wide_stages():
+    """256+ channel stages run at full lanes already — fusing them only
+    adds halo recompute; the planner must skip them."""
+    from darknet_tpu import model_zoo
+
+    g = build_graph(model_zoo.yolov4_cfg(128, 128))
+    plans = fr.plan_graph_regions(g, stem=True)
+    assert set(plans) == {0, 12}
+    for p in plans.values():
+        for st in p.steps:
+            if isinstance(st, fr.ConvStep):
+                assert st.act in fr.ELEMENTWISE_ACTS
+
+
+def test_kernel_act_matches_reference():
+    from darknet_tpu.ops.activations import apply_activation
+
+    x = jnp.asarray(np.linspace(-30, 30, 401, dtype=np.float32))
+    for act in ("leaky", "mish", "relu", "swish", "logistic", "tanh",
+                "gelu", "hardtan", "relu6"):
+        got = np.asarray(fr.kernel_act(x, act))
+        want = np.asarray(apply_activation(x, act))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
+                                   err_msg=act)
