@@ -52,7 +52,8 @@ def main():
         r = fwd(params, x)
         outs = []
         for t, l in zip(r["heads"], heads):
-            boxes, obj, cls = yoloops.yolo_decode(t, l, size, size)
+            boxes, obj, cls = yoloops.yolo_decode(t, l, size, size,
+                                                  order="native")
             outs.append((boxes, obj, cls))
         boxes = jnp.concatenate([o[0] for o in outs], axis=1)
         obj = jnp.concatenate([o[1] for o in outs], axis=1)

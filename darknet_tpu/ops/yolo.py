@@ -46,31 +46,41 @@ def yolo_activate(x, l):
     return out.reshape(x.shape)
 
 
-def yolo_decode(activated, l, net_w: int, net_h: int):
+def yolo_decode(activated, l, net_w: int, net_h: int,
+                order: str = "reference"):
     """Activated head output -> (boxes, obj, cls_prob) with relative coords.
 
     boxes: (B, H*W*A, 4) center-format (x, y, w, h); obj: (B, H*W*A);
-    cls: (B, H*W*A, classes).  Ordering matches GetYoloDetections' loop
-    (anchor-major then row-major spatial) for test comparability.
+    cls: (B, H*W*A, classes).
+
+    order="reference" matches GetYoloDetections' loop (anchor-major then
+    row-major spatial) for index-wise comparability with the reference
+    binary.  order="native" flattens (H, W, A) directly — no transposes
+    (which relayout ~100MB+ per batch at 608²) — for the production path
+    where box ordering is immaterial (NMS sorts by score anyway).
     """
     e = 4 + 1 + l.classes
     b, h, w, _ = activated.shape
     v = _split_entries(activated, l.n, e)
 
-    cols = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
-    rows = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
-    anchors = jnp.asarray(l.anchors, dtype=jnp.float32).reshape(-1, 2)
+    f32 = jnp.float32
+    cols = jnp.arange(w, dtype=f32)[None, None, :, None]
+    rows = jnp.arange(h, dtype=f32)[None, :, None, None]
+    anchors = jnp.asarray(l.anchors, dtype=f32).reshape(-1, 2)
     aw = anchors[jnp.asarray(l.mask), 0][None, None, None, :]
     ah = anchors[jnp.asarray(l.mask), 1][None, None, None, :]
 
-    bx = (cols + v[..., 0]) / w
-    by = (rows + v[..., 1]) / h
-    bw = jnp.exp(v[..., 2]) * aw / net_w
-    bh = jnp.exp(v[..., 3]) * ah / net_h
+    bx = (cols + v[..., 0].astype(f32)) / w
+    by = (rows + v[..., 1].astype(f32)) / h
+    bw = jnp.exp(v[..., 2].astype(f32)) * aw / net_w
+    bh = jnp.exp(v[..., 3].astype(f32)) * ah / net_h
     obj = v[..., 4]
     cls = v[..., 5:]
 
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)       # (B,H,W,A,4)
+    if order == "native":
+        return (boxes.reshape(b, -1, 4), obj.reshape(b, -1),
+                cls.reshape(b, -1, l.classes))
     # flatten anchor-major: (A, H, W) order like EntryIndex
     boxes = jnp.transpose(boxes, (0, 3, 1, 2, 4)).reshape(b, -1, 4)
     obj = jnp.transpose(obj, (0, 3, 1, 2)).reshape(b, -1)
