@@ -249,8 +249,15 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             elif k == "detection":
                 # YOLOv1 head: forward is identity at inference
                 cur = cur.reshape(cur.shape[0], 1, 1, -1)
+                if train:
+                    raw_heads.append(cur)
                 heads.append(cur)
-            elif k in ("cost", "empty", "blank"):
+            elif k == "cost":
+                # identity forward; during training the loss delta applies
+                # to the layer input (cost_layer.c:64-87 backward axpy)
+                if train:
+                    raw_heads.append(cur)
+            elif k in ("empty", "blank"):
                 pass  # identity
             else:
                 raise NotImplementedError(f"layer kind {k}")

@@ -68,6 +68,35 @@ def encode_v1_truth(box_list, l):
     return out
 
 
+def encode_v1_truth_batch(truths, l):
+    """Batched, jit-safe (T,5) box list -> v1 grid truth.
+
+    truths: (B, T, 5) [x, y, w, h, cls]; returns (B, S, 1+classes+4).
+    First box per cell wins (matching encode_v1_truth / the reference's
+    fill order): boxes are scattered in reverse so the earliest write
+    lands last.
+    """
+    b, t_max, _ = truths.shape
+    s = l.side * l.side
+    bi = jnp.arange(b)
+    out = jnp.zeros((b, s, 1 + l.classes + 4), jnp.float32)
+    for t in range(t_max - 1, -1, -1):
+        x, y, w, h = (truths[:, t, k] for k in range(4))
+        cid = truths[:, t, 4].astype(jnp.int32)
+        valid = x > 0
+        col = jnp.clip((x * l.side).astype(jnp.int32), 0, l.side - 1)
+        row = jnp.clip((y * l.side).astype(jnp.int32), 0, l.side - 1)
+        cell = row * l.side + col
+        vals = jnp.concatenate([
+            jnp.ones((b, 1), jnp.float32),
+            jax.nn.one_hot(cid, l.classes, dtype=jnp.float32),
+            (x * l.side - col)[:, None], (y * l.side - row)[:, None],
+            w[:, None], h[:, None]], axis=1)
+        old = out[bi, cell]
+        out = out.at[bi, cell].set(jnp.where(valid[:, None], vals, old))
+    return out
+
+
 def detection_head_delta(flat, truth, l, seen: int = 100000,
                          rng_best=None):
     """Training delta (ForwardDetectionLayer:47-216) — vectorized.

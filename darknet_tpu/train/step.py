@@ -42,7 +42,10 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
         use_adam = net.adam
     fwd = make_forward(graph, train=True, compute_dtype=compute_dtype,
                        remat=remat)
-    heads = [l for l in graph.heads() if l.kind in ("yolo", "gaussian_yolo")]
+    # every trainable head kind, in layer order (= raw_heads order):
+    # yolo/gaussian_yolo (v3/v4), detection (v1), cost (classifier era)
+    heads = [l for l in graph.layers
+             if l.kind in ("yolo", "gaussian_yolo", "detection", "cost")]
     loss_scale = net.loss_scale
 
     def step(params, opt_state, x, truths, rng, lr):
@@ -53,16 +56,39 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
         raw_heads, vjp_fn, bn_stats = jax.vjp(to_heads, params, has_aux=True)
 
         deltas, costs, metrics_list = [], [], []
-        for raw, l in zip(raw_heads, heads):
+        for hi, (raw, l) in enumerate(zip(raw_heads, heads)):
             if l.kind == "gaussian_yolo":
                 from darknet_tpu.train.gaussian_yolo_loss import \
                     gaussian_yolo_head_delta
 
                 d, c, m = gaussian_yolo_head_delta(
                     raw.astype(jnp.float32), truths, l, net.w, net.h)
-            else:
+            elif l.kind == "yolo":
                 d, c, m = yolo_head_delta(raw.astype(jnp.float32), truths, l,
                                           net.w, net.h)
+            elif l.kind == "detection":
+                from darknet_tpu.ops.detection_v1 import (
+                    detection_head_delta, encode_v1_truth_batch)
+
+                grid = encode_v1_truth_batch(truths, l)
+                flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
+                d, c, m = detection_head_delta(
+                    flat, grid, l,
+                    rng_best=jax.random.fold_in(rng, 7 + hi)
+                    if rng is not None else None)
+                d = d.reshape(raw.shape)
+                m = dict(m, class_loss=jnp.float32(0),
+                         iou_loss=jnp.float32(0))
+            else:  # cost layer: truths IS the flat target (B, inputs)
+                from darknet_tpu.ops.detection_v1 import cost_layer
+
+                flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
+                tgt = truths.reshape(truths.shape[0], -1).astype(jnp.float32)
+                c, d = cost_layer(flat, tgt, l.cost_type, l.ratio)
+                d = (d * l.cost_scale).reshape(raw.shape)
+                zero = jnp.float32(0)
+                m = {"loss": c / flat.shape[0], "avg_iou": zero,
+                     "count": zero, "class_loss": zero, "iou_loss": zero}
             deltas.append(d.astype(raw.dtype) * loss_scale)
             costs.append(c)
             metrics_list.append(m)
