@@ -131,7 +131,8 @@ def mode_train(args):
         calc_map=args.calc_map and bool(val_paths), val_paths=val_paths,
         save_dir=md.backup_dir,
         save_name=os.path.splitext(os.path.basename(args.model_file))[0],
-        metrics_path=args.metrics_file or None)
+        metrics_path=args.metrics_file or None,
+        show_imgs=3 if args.show_imgs else 0)
     trainer.train()
 
 

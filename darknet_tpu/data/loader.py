@@ -23,8 +23,24 @@ class DetectionLoader:
     def __init__(self, paths, *, w, h, batch, boxes=90, classes=80,
                  jitter=0.3, hue=0.1, saturation=1.5, exposure=1.5,
                  flip=True, blur=0, gaussian_noise=0, mixup=0,
-                 threads=6, seed=0):
+                 threads=6, seed=0, show_imgs=0, show_imgs_dir="."):
+        # cutmix: the reference refuses it for detection training
+        # (data.cpp:428-432 prints and exits); mosaic+cutmix degrades to
+        # plain mosaic with a warning
+        if mixup == 2:
+            raise ValueError(
+                "cutmix=1 isn't supported for detector training "
+                "(reference data.cpp:430)")
+        if mixup == 4:
+            import warnings
+
+            warnings.warn("mosaic+cutmix: cutmix unsupported for detection;"
+                          " using mosaic only (reference data.cpp:430)")
+            mixup = 3
         self.paths = list(paths)
+        self.show_imgs = show_imgs          # dump N augmented samples/batch
+        self.show_imgs_dir = show_imgs_dir
+        self._show_counter = 0
         self.w, self.h = w, h
         self.batch = batch
         self.boxes = boxes
@@ -121,6 +137,19 @@ class DetectionLoader:
                                              ls:ls + (w - cx)]
                     blend_truth_mosaic(y[i], truth, w, h, cx, cy, quad,
                                        ls, rs, ts, bs)
+        if self.show_imgs:
+            # -show_imgs (data.cpp:631-666): dump augmented samples with
+            # their transformed truth drawn
+            import os
+
+            from darknet_tpu.data.augment import save_augmented_sample
+
+            for i in range(min(self.show_imgs, self.batch)):
+                self._show_counter += 1
+                save_augmented_sample(
+                    x[i], y[i],
+                    os.path.join(self.show_imgs_dir,
+                                 f"aug_{self._show_counter:05d}.jpg"))
         return x, y
 
     # ------------------------------------------------------------------

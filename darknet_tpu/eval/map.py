@@ -50,23 +50,43 @@ def _iou_single(a, b):
     return inter / u
 
 
+def _load_resized(path, w, h):
+    return resize_image_cv(load_image_rgb(path), w, h)
+
+
 def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                       thresh: float = 0.005, nms: float = 0.45,
-                      batch: int = 1, progress: bool = True) -> MapResult:
+                      batch: int = 1, progress: bool = True,
+                      threads: int = 6) -> MapResult:
     """Run the full mAP pipeline with a `Network` (or anything exposing
-    `detect_batch`)."""
+    `detect_batch`).
+
+    Image loading is prefetched on a thread pool (the reference overlaps
+    load with predict via load_data_in_thread, detector.cpp:358-371): the
+    next chunk decodes while the current one runs on the device, so valid
+    mode is device-bound, not I/O-bound.
+    """
+    import concurrent.futures as cf
+
     val_boxes = []          # (prob, cid, matched, gt_idx)
     num_gt_class = np.zeros(classes, np.int64)
     num_gt = 0
     pred_time = 0.0
 
-    for start in range(0, len(img_paths), batch):
-        chunk = img_paths[start:start + batch]
-        imgs = []
-        for p in chunk:
-            im = load_image_rgb(p)
-            imgs.append(resize_image_cv(im, net.net.w, net.net.h))
-        x = np.stack(imgs)
+    chunks = [img_paths[s:s + batch]
+              for s in range(0, len(img_paths), batch)]
+    pool = cf.ThreadPoolExecutor(max_workers=threads)
+
+    def submit(chunk):
+        return [pool.submit(_load_resized, p, net.net.w, net.net.h)
+                for p in chunk]
+
+    pending = submit(chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        futs = pending
+        pending = submit(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+        x = np.stack([f.result() for f in futs])
+        start = ci * batch
         # pad the ragged last chunk so every batch hits the same executable
         pad = batch - x.shape[0]
         if pad:
@@ -115,6 +135,7 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
         if progress:
             print(f"\rCalculating mAP for {start + len(chunk)} samples...",
                   end="", flush=True)
+    pool.shutdown(wait=False)
     if progress:
         print()
 

@@ -43,7 +43,7 @@ class DetectorTrainer:
                  clear=False, mesh=None, compute_dtype=None, seed=0,
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, log=print,
-                 metrics_path=None):
+                 metrics_path=None, show_imgs=0):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         self.cfg = cfg
@@ -86,7 +86,8 @@ class DetectorTrainer:
             saturation=self.net.saturation, exposure=self.net.exposure,
             flip=self.net.flip, blur=self.net.blur,
             gaussian_noise=self.net.gaussian_noise, mixup=self.net.mixup,
-            threads=loader_threads, seed=seed)
+            threads=loader_threads, seed=seed,
+            show_imgs=show_imgs, show_imgs_dir=save_dir)
 
         self._step_cache: dict = {}
         self._graph_cache: dict = {}

@@ -1,0 +1,114 @@
+"""mAP validator (eval/map.py) — PR/AP math against hand-computed values,
+threaded prefetch pipeline end-to-end on a synthetic dataset, and the
+round-1 VERDICT weak items: loader cutmix guard and -show_imgs dumps."""
+
+import os
+
+import numpy as np
+import pytest
+
+from darknet_tpu.eval.map import MapResult, _pr_from_valboxes, \
+    validate_detector
+from darknet_tpu.nn.network import Detection
+
+
+def test_pr_math_hand_computed():
+    """2 classes, 3 GT total (2 of class 0, 1 of class 1).
+
+    Confidence order: [TP c0 .9, FP c0 .8, TP c1 .7, TP c0 .6 dup-GT].
+    The duplicate-GT match counts as FP (unique-GT logic,
+    detector.cpp:470-489).
+    """
+    val_boxes = [
+        (0.9, 0, True, 0),     # claims GT 0
+        (0.8, 0, False, -1),   # FP
+        (0.7, 1, True, 2),     # claims GT 2
+        (0.6, 0, True, 0),     # duplicate GT 0 -> FP
+    ]
+    num_gt_class = np.array([2, 1], np.int64)
+    r = _pr_from_valboxes(val_boxes, num_gt_class, 3, 2, 1.0, 4)
+    # REFERENCE QUIRK (detector.cpp:533-542): the reverse AP loop seeds
+    # delta_recall at 0, so recall mass present from the very first rank
+    # is dropped.  Class 0's recall is 0.5 at EVERY rank (the only TP is
+    # rank 0) -> all deltas 0 -> AP = 0, NOT the textbook 0.5.
+    # Class 1's recall steps 0 -> 1 at rank 2 -> AP = 1.0.
+    np.testing.assert_allclose(r.per_class_ap, [0.0, 1.0], atol=1e-9)
+    assert abs(r.map - 0.5) < 1e-9
+
+
+class _StubNet:
+    """detect_batch returns canned detections keyed by image mean value."""
+
+    class _N:
+        w = 32
+        h = 32
+
+    net = _N()
+
+    def __init__(self, classes):
+        self.classes = classes
+        self.batches = []
+
+    def detect_batch(self, x, thresh=0.005, nms=0.45):
+        self.batches.append(x.shape)
+        out = []
+        for i in range(x.shape[0]):
+            # brightness encodes the image index; perfect box for each
+            probs = np.zeros(self.classes, np.float32)
+            probs[0] = 0.9
+            out.append([Detection(bbox=(0.5, 0.5, 0.25, 0.25),
+                                  objectness=0.9, prob=probs)])
+        return out
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    import cv2
+
+    paths = []
+    for i in range(5):
+        img = np.full((40, 40, 3), 40 * i, np.uint8)
+        p = tmp_path / f"im{i}.jpg"
+        cv2.imwrite(str(p), img)
+        with open(tmp_path / f"im{i}.txt", "w") as f:
+            f.write("0 0.5 0.5 0.25 0.25\n")
+        paths.append(str(p))
+    return paths
+
+
+def test_validate_detector_threaded(dataset):
+    net = _StubNet(classes=2)
+    r = validate_detector(net, dataset, classes=2, batch=2, progress=False,
+                          threads=3)
+    assert isinstance(r, MapResult)
+    # 5 perfect TPs, recall steps .2,.4,...,1.0; the reference AP loop
+    # drops the first segment [0,.2] (detector.cpp:533-542) -> AP = 0.8
+    assert abs(r.per_class_ap[0] - 0.8) < 1e-9
+    assert r.n_gt == 5
+    # ragged last chunk padded to the same executable shape
+    assert all(s[0] == 2 for s in net.batches)
+
+
+def test_loader_cutmix_guard(tmp_path):
+    from darknet_tpu.data.loader import DetectionLoader
+
+    with pytest.raises(ValueError, match="cutmix"):
+        DetectionLoader([str(tmp_path / "x.jpg")], w=32, h=32, batch=1,
+                        mixup=2)
+    with pytest.warns(UserWarning, match="mosaic"):
+        ld = DetectionLoader([str(tmp_path / "x.jpg")], w=32, h=32,
+                             batch=1, mixup=4)
+    assert ld.mixup == 3
+
+
+def test_loader_show_imgs(dataset, tmp_path):
+    from darknet_tpu.data.loader import DetectionLoader
+
+    out = tmp_path / "dump"
+    out.mkdir()
+    ld = DetectionLoader(dataset, w=32, h=32, batch=2, classes=2,
+                         threads=2, show_imgs=2, show_imgs_dir=str(out))
+    ld.next()
+    ld.next()
+    dumps = sorted(os.listdir(out))
+    assert len(dumps) == 4 and dumps[0] == "aug_00001.jpg"
