@@ -31,6 +31,16 @@ for f in $FILES; do
 done
 g++ -O2 -fopenmp -DOPENCV -w -x c++ -c "$SRC/image_opencv.cpp" \
     -I"$SRC" -I"$STB" $(pkg-config --cflags opencv4) -o image_opencv.o
+g++ -O2 -fopenmp -DOPENCV -w -x c++ -c "$SRC/visualize.cpp" \
+    -I"$SRC" -I"$STB" $(pkg-config --cflags opencv4) -o visualize.o
+g++ -O2 -fopenmp -DOPENCV -w -x c++ -c "$SRC/detector.cpp" \
+    -I"$SRC" -I"$STB" $(pkg-config --cflags opencv4) -o detector.o
+g++ -O2 -fopenmp -DOPENCV -w -x c++ -c "$SRC/track_manager.cpp" \
+    -I"$SRC" -I"$STB" $(pkg-config --cflags opencv4) -o track_manager.o
+g++ -O2 -fopenmp -w -x c++ -c "$SRC/hungarian/Hungarian.cpp" \
+    -I"$SRC" -o hungarian.o
+g++ -O2 -fopenmp -w -x c++ -c "$SRC/hungarian/BipartiteGraph.cpp" \
+    -I"$SRC" -o bipartite.o
 g++ -O2 -fopenmp -w -x c++ -c "$HERE/harness.cpp" -I"$SRC" -o harness.o
 g++ -O2 -fopenmp -o ref_harness harness.o \
     $(ls ./*.o | grep -v harness) -lpthread -lm $(pkg-config --libs opencv4)

@@ -1,19 +1,33 @@
-// Golden-parity harness: load cfg+weights, run NetworkPredict on raw input
-// read from stdin/file, dump raw outputs + detections to stdout as binary.
+// Golden-parity harness against the REFERENCE implementation.
+//
+// Modes:
+//   predict (default, arg-compatible with round 1):
+//     harness cfg weights in.bin out.bin [thresh] [nms]
+//     -> NetworkPredict + GetNetworkBoxes + NmsSort; dumps detections and
+//        the final layer's raw output.
+//   train:
+//     harness train cfg weights in.bin truth.bin out.bin
+//     -> LoadNetwork(train=1) + TrainNetworkDatum on one batch; dumps
+//        *net.cost and every head layer's delta array (the training-math
+//        oracle: yolo_layer.cpp:430-757, network.cpp:188-215).
+//   valid:
+//     harness valid data.cfg cfg weights iou_thresh out.bin
+//     -> ValidateDetector (detector.cpp:326-561), the de-facto mAP
+//        pipeline; dumps the returned mAP as one float.
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include "network.h"
+#include "option_list.h"
 #include "yolo_core.h"
 
 extern "C" void init_cpu();
 
-int main(int argc, char** argv)
+static int mode_predict(int argc, char** argv)
 {
-  // args: cfg weights in.bin out.bin [thresh] [nms]
   if (argc < 5) { fprintf(stderr, "usage: harness cfg weights in.bin out.bin [thresh] [nms]\n"); return 1; }
   float thresh = argc > 5 ? atof(argv[5]) : 0.25f;
   float nms = argc > 6 ? atof(argv[6]) : 0.45f;
-  init_cpu();
   Network net = {0};
   if (!LoadNetwork(&net, argv[1], argv[2], false, false)) { fprintf(stderr, "load failed\n"); return 2; }
   int insz = net.w * net.h * net.c;
@@ -42,4 +56,79 @@ int main(int argc, char** argv)
   fclose(fo);
   fprintf(stderr, "ok %d boxes\n", nboxes);
   return 0;
+}
+
+static int mode_train(int argc, char** argv)
+{
+  // harness train cfg weights in.bin truth.bin out.bin
+  if (argc < 7) { fprintf(stderr, "usage: harness train cfg weights in.bin truth.bin out.bin\n"); return 1; }
+  Network net = {0};
+  if (!LoadNetwork(&net, argv[2], argv[3], true, false)) { fprintf(stderr, "load failed\n"); return 2; }
+  int insz = net.batch * net.w * net.h * net.c;
+  // this fork's parser never sets net.truths; take the max over layers
+  // (yolo/gaussian: max_boxes*5, detection: side^2*(1+coords+classes))
+  int truths = 0;
+  for (int i = 0; i < net.n; i++)
+    if (net.layers[i].truths > truths) truths = net.layers[i].truths;
+  int tsz = net.batch * truths;
+  float* x = (float*)calloc(insz, sizeof(float));
+  float* y = (float*)calloc(tsz > 0 ? tsz : 1, sizeof(float));
+  FILE* fi = fopen(argv[4], "rb");
+  fread(x, sizeof(float), insz, fi);
+  fclose(fi);
+  fi = fopen(argv[5], "rb");
+  if (tsz > 0) fread(y, sizeof(float), tsz, fi);
+  fclose(fi);
+
+  float cost = TrainNetworkDatum(&net, x, y);
+
+  FILE* fo = fopen(argv[6], "wb");
+  fwrite(&cost, sizeof(float), 1, fo);
+  // every head layer's delta (gradient-ascent direction on its output)
+  int nheads = 0;
+  for (int i = 0; i < net.n; i++) {
+    LAYER_TYPE t = net.layers[i].type;
+    if (t == YOLO || t == GAUSSIAN_YOLO || t == DETECTION || t == COST)
+      nheads++;
+  }
+  fwrite(&nheads, sizeof(int), 1, fo);
+  for (int i = 0; i < net.n; i++) {
+    layer* l = &net.layers[i];
+    LAYER_TYPE t = l->type;
+    if (t != YOLO && t != GAUSSIAN_YOLO && t != DETECTION && t != COST)
+      continue;
+    int sz = l->outputs * net.batch;
+    fwrite(&i, sizeof(int), 1, fo);
+    fwrite(&sz, sizeof(int), 1, fo);
+    float lcost = l->cost ? *l->cost : 0.0f;
+    fwrite(&lcost, sizeof(float), 1, fo);
+    fwrite(l->delta, sizeof(float), sz, fo);
+  }
+  fclose(fo);
+  fprintf(stderr, "ok train cost=%f heads=%d\n", cost, nheads);
+  return 0;
+}
+
+static int mode_valid(int argc, char** argv)
+{
+  // harness valid data.cfg cfg weights iou_thresh out.bin
+  if (argc < 7) { fprintf(stderr, "usage: harness valid data cfg weights iou out.bin\n"); return 1; }
+  Metadata md(argv[2]);
+  Network net = {0};
+  if (!LoadNetwork(&net, argv[3], argv[4], false, false)) { fprintf(stderr, "load failed\n"); return 2; }
+  float iou = atof(argv[5]);
+  float map = ValidateDetector(md, &net, iou);
+  FILE* fo = fopen(argv[6], "wb");
+  fwrite(&map, sizeof(float), 1, fo);
+  fclose(fo);
+  fprintf(stderr, "ok valid map=%f\n", map);
+  return 0;
+}
+
+int main(int argc, char** argv)
+{
+  init_cpu();
+  if (argc > 1 && strcmp(argv[1], "train") == 0) return mode_train(argc, argv);
+  if (argc > 1 && strcmp(argv[1], "valid") == 0) return mode_valid(argc, argv);
+  return mode_predict(argc, argv);
 }

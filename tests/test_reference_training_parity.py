@@ -1,0 +1,258 @@
+"""TRAINING-MATH GOLDEN GATES: head deltas + costs vs the reference binary.
+
+Round-1 gated the loss machinery against a self-authored numpy port
+(tests/golden_yolo.py). This file replaces that oracle with the actual
+reference: the harness's `train` mode runs `TrainNetworkDatum`
+(network.cpp:188-215) on a fixed batch and dumps every head layer's
+`delta` array and `*l.cost` (yolo_layer.cpp:430-757,
+gaussian_yolo_layer.cpp, detection_layer.cpp:47-224); we must reproduce
+them from the same cfg+weights+input+truth.
+"""
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.test_reference_parity import BUILD_DIR, REF, harness  # noqa: F401
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")),
+    reason="reference tree not available")
+
+
+def _run_reference_train(harness, cfg_path, weights, x_bchw, truth_flat):
+    inb = os.path.join(BUILD_DIR, "train_in.bin")
+    tb = os.path.join(BUILD_DIR, "train_truth.bin")
+    outb = os.path.join(BUILD_DIR, "train_out.bin")
+    np.ascontiguousarray(x_bchw).astype("<f4").tofile(inb)
+    np.ascontiguousarray(truth_flat).astype("<f4").tofile(tb)
+    subprocess.run([harness, "train", cfg_path, weights, inb, tb, outb],
+                   check=True, capture_output=True, timeout=900)
+    data = open(outb, "rb").read()
+    (cost,) = struct.unpack("<f", data[:4])
+    (nheads,) = struct.unpack("<i", data[4:8])
+    off = 8
+    heads = []
+    for _ in range(nheads):
+        li, sz = struct.unpack("<ii", data[off:off + 8])
+        (lcost,) = struct.unpack("<f", data[off + 8:off + 12])
+        off += 12
+        delta = np.frombuffer(data[off:off + 4 * sz], dtype="<f4").copy()
+        off += 4 * sz
+        heads.append((li, lcost, delta))
+    return cost, heads
+
+
+def _our_head_deltas(cfg_text, weights, x_bhwc, truths):
+    """Forward (train mode, f32 HIGHEST) + the same per-head delta fns the
+    train step uses."""
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.nn.emit import make_forward
+    from darknet_tpu.weights import io as wio
+
+    g = build_graph(cfg_text, train=True)
+    params, _seen, _ = wio.load_weights(g, weights)
+    fwd = make_forward(g, train=True)
+    r = fwd(params, jnp.asarray(x_bhwc))
+    raw_heads = r["raw_heads"]
+    heads = [l for l in g.layers
+             if l.kind in ("yolo", "gaussian_yolo", "detection", "cost")]
+    out = []
+    t = jnp.asarray(truths)
+    for raw, l in zip(raw_heads, heads):
+        raw = raw.astype(jnp.float32)
+        if l.kind == "yolo":
+            from darknet_tpu.train.yolo_loss import yolo_head_delta
+
+            d, c, _m = yolo_head_delta(raw, t, l, g.net.w, g.net.h)
+        elif l.kind == "gaussian_yolo":
+            from darknet_tpu.train.gaussian_yolo_loss import \
+                gaussian_yolo_head_delta
+
+            d, c, _m = gaussian_yolo_head_delta(raw, t, l, g.net.w, g.net.h)
+        else:
+            from darknet_tpu.ops.detection_v1 import (detection_head_delta,
+                                                      encode_v1_truth_batch)
+
+            grid = encode_v1_truth_batch(t, l)
+            d, c, _m = detection_head_delta(
+                raw.reshape(raw.shape[0], -1), grid, l)
+        out.append((l, np.asarray(d), float(c)))
+    return out
+
+
+def _gate(cfg_text, tmp_path, harness, rng, truths, rtol=2e-3, atol=3e-5):
+    from darknet_tpu.nn.network import Network
+
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg_text)
+    weights = str(tmp_path / "t.weights")
+    net_t = Network.from_cfg(cfg_path, train=True, fuse=False, seed=23)
+    net_t.save_weights(weights)
+    g = net_t.graph
+    b = g.net.optimizer_batch
+
+    x = rng.uniform(0, 1, (b, g.net.h, g.net.w, g.net.c)).astype(np.float32)
+    x_bchw = np.transpose(x, (0, 3, 1, 2))
+
+    heads = [l for l in g.layers
+             if l.kind in ("yolo", "gaussian_yolo", "detection")]
+    if heads[-1].kind == "detection":
+        from darknet_tpu.ops.detection_v1 import encode_v1_truth_batch
+
+        truth_flat = np.asarray(
+            encode_v1_truth_batch(jnp.asarray(truths), heads[-1]))
+    else:
+        truth_flat = truths
+    ref_cost, ref_heads = _run_reference_train(
+        harness, cfg_path, weights, x_bchw, truth_flat)
+
+    ours = _our_head_deltas(cfg_text, weights, x, truths)
+    assert len(ours) == len(ref_heads)
+    for (l, d, c), (li, lcost, rdelta) in zip(ours, ref_heads):
+        assert l.index == li
+        if l.kind in ("yolo", "gaussian_yolo"):
+            # reference delta is (B, C, H, W) flat; ours NHWC
+            d_chw = np.transpose(d, (0, 3, 1, 2)).ravel()
+        else:
+            d_chw = d.ravel()
+        np.testing.assert_allclose(d_chw, rdelta, rtol=rtol, atol=atol,
+                                   err_msg=f"layer {li} ({l.kind}) delta")
+        np.testing.assert_allclose(c, lcost, rtol=5e-3, atol=1e-4,
+                                   err_msg=f"layer {li} cost")
+    return ref_cost
+
+
+YOLO_V4STYLE_CFG = """[net]
+batch=2
+subdivisions=1
+width=64
+height=64
+channels=3
+learning_rate=0.001
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=24
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=4
+classes=7
+anchors=10,14, 23,27, 37,58, 81,82
+ignore_thresh=.7
+truth_thresh=1
+iou_loss=ciou
+iou_normalizer=0.07
+cls_normalizer=1.0
+scale_x_y=1.05
+max_delta=5
+max=10
+"""
+
+
+def test_train_delta_parity_yolo(harness, tmp_path, rng):
+    truths = np.zeros((2, 10, 5), np.float32)
+    truths[0, 0] = [0.4, 0.5, 0.3, 0.4, 2]
+    truths[0, 1] = [0.7, 0.2, 0.2, 0.2, 5]
+    truths[1, 0] = [0.55, 0.6, 0.5, 0.45, 0]
+    _gate(YOLO_V4STYLE_CFG, tmp_path, harness, rng, truths)
+
+
+GAUSSIAN_CFG = """[net]
+batch=2
+subdivisions=1
+width=64
+height=64
+channels=3
+learning_rate=0.001
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=4
+pad=1
+activation=leaky
+[convolutional]
+filters=28
+size=1
+activation=linear
+[Gaussian_yolo]
+mask=0,1
+num=3
+classes=5
+anchors=10,14, 23,27, 37,58
+ignore_thresh=.5
+iou_normalizer=0.5
+uc_normalizer=0.5
+scale_x_y=1.1
+max=8
+"""
+
+
+def test_train_delta_parity_gaussian(harness, tmp_path, rng):
+    truths = np.zeros((2, 8, 5), np.float32)
+    truths[0, 0] = [0.45, 0.5, 0.35, 0.4, 1]
+    truths[1, 0] = [0.6, 0.35, 0.25, 0.5, 4]
+    truths[1, 1] = [0.25, 0.7, 0.2, 0.2, 3]
+    # NLL deltas carry 1/sigma factors that amplify f32 rounding; 2e-4
+    # absolute still pins every structural decision (masks, assignment)
+    _gate(GAUSSIAN_CFG, tmp_path, harness, rng, truths, atol=2e-4)
+
+
+V1_CFG = """[net]
+batch=2
+subdivisions=1
+width=48
+height=48
+channels=3
+learning_rate=0.001
+[convolutional]
+filters=8
+size=3
+stride=4
+pad=1
+activation=leaky
+[connected]
+output=52
+activation=linear
+[detection]
+classes=3
+coords=4
+rescore=1
+side=2
+num=2
+object_scale=1
+noobject_scale=.5
+class_scale=1
+coord_scale=5
+sqrt=1
+max=6
+"""
+
+
+def test_train_delta_parity_v1_detection(harness, tmp_path, rng):
+    truths = np.zeros((2, 6, 5), np.float32)
+    truths[0, 0] = [0.3, 0.3, 0.25, 0.3, 1]
+    truths[0, 1] = [0.7, 0.65, 0.3, 0.25, 0]
+    truths[1, 0] = [0.6, 0.4, 0.4, 0.35, 2]
+    _gate(V1_CFG, tmp_path, harness, rng, truths)
