@@ -50,14 +50,19 @@ def _iou_single(a, b):
     return inter / u
 
 
-def _load_resized(path, w, h):
-    return resize_image_cv(load_image_rgb(path), w, h)
+def _load_resized(path, w, h, resize: str = "cv"):
+    im = load_image_rgb(path)
+    if resize == "darknet":
+        from darknet_tpu.data.image import resize_image_darknet
+
+        return resize_image_darknet(im, w, h)
+    return resize_image_cv(im, w, h)
 
 
 def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                       thresh: float = 0.005, nms: float = 0.45,
                       batch: int = 1, progress: bool = True,
-                      threads: int = 6) -> MapResult:
+                      threads: int = 6, resize: str = "cv") -> MapResult:
     """Run the full mAP pipeline with a `Network` (or anything exposing
     `detect_batch`).
 
@@ -78,7 +83,7 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
     pool = cf.ThreadPoolExecutor(max_workers=threads)
 
     def submit(chunk):
-        return [pool.submit(_load_resized, p, net.net.w, net.net.h)
+        return [pool.submit(_load_resized, p, net.net.w, net.net.h, resize)
                 for p in chunk]
 
     pending = submit(chunks[0]) if chunks else None

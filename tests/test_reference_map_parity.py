@@ -1,0 +1,123 @@
+"""END-TO-END mAP GOLDEN GATE: our `valid` pipeline vs the reference's.
+
+The reference's `-mode valid` (ValidateDetector, detector.cpp:326-561) is
+its de-facto correctness test.  The harness's `valid` mode runs it over a
+synthetic labeled dataset (PNG = lossless, so stb and cv2 decode identical
+pixels) and dumps the mAP@iou; our `validate_detector` must reproduce it
+over the SAME images + labels + weights — exercising the full pipeline:
+load -> darknet bilinear resize -> f32 forward -> box decode -> NMS ->
+greedy GT match -> PR accumulation -> AP integration.
+"""
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import BUILD_DIR, REF, harness  # noqa: F401
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")),
+    reason="reference tree not available")
+
+CLASSES = 4
+N_IMAGES = 40
+SIZE = 96
+
+CFG = f"""[net]
+batch=1
+subdivisions=1
+width={SIZE}
+height={SIZE}
+channels=3
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=24
+size=3
+stride=2
+pad=1
+activation=mish
+[convolutional]
+filters=27
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+num=3
+classes={CLASSES}
+anchors=10,14, 23,27, 37,58
+scale_x_y=1.05
+nms_kind=greedynms
+"""
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("mapds")
+    rng = np.random.default_rng(99)
+    paths = []
+    for i in range(N_IMAGES):
+        img = rng.integers(0, 256, (80, 112, 3), np.uint8)
+        p = root / f"im{i:03d}.png"
+        cv2.imwrite(str(p), img)
+        n_boxes = int(rng.integers(1, 4))
+        with open(root / f"im{i:03d}.txt", "w") as f:
+            for _ in range(n_boxes):
+                cid = int(rng.integers(0, CLASSES))
+                w, h = rng.uniform(0.1, 0.5, 2)
+                x = rng.uniform(w / 2, 1 - w / 2)
+                y = rng.uniform(h / 2, 1 - h / 2)
+                f.write(f"{cid} {x:.6f} {y:.6f} {w:.6f} {h:.6f}\n")
+        paths.append(str(p))
+
+    lst = root / "valid.txt"
+    with open(lst, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    names = root / "obj.names"
+    with open(names, "w") as f:
+        f.write("\n".join(f"c{i}" for i in range(CLASSES)) + "\n")
+    data = root / "obj.data"
+    with open(data, "w") as f:
+        f.write(f"classes = {CLASSES}\nvalid = {lst}\nnames = {names}\n")
+    return root, paths, str(data)
+
+
+def test_map_parity_vs_reference(harness, dataset, tmp_path):
+    from darknet_tpu.eval.map import validate_detector
+    from darknet_tpu.nn.network import Network
+
+    root, paths, data_file = dataset
+    cfg_path = str(tmp_path / "m.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    weights = str(tmp_path / "m.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=31).save_weights(weights)
+
+    outb = str(tmp_path / "map.bin")
+    subprocess.run([harness, "valid", data_file, cfg_path, weights,
+                    "0.5", outb], check=True, capture_output=True,
+                   timeout=900)
+    (ref_map,) = struct.unpack("<f", open(outb, "rb").read(4))
+
+    net = Network.from_cfg(cfg_path, weights=weights, fuse=True)
+    r = validate_detector(net, paths, classes=CLASSES, iou_thresh=0.5,
+                          batch=4, progress=False, resize="darknet")
+
+    # BASELINE configs 1-3 specify a <=0.1% mAP parity gate
+    assert abs(r.map - ref_map) <= 1e-3, (r.map, ref_map)
+    # the gate must be non-trivial: nonzero mAP over plentiful detections
+    # (measured: both sides produce 0.001550 over ~50k predictions)
+    assert ref_map > 0, ref_map
+    assert r.n_pred > 1000, r.n_pred
