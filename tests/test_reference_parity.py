@@ -367,3 +367,13 @@ classes=3
 anchors=10,14, 23,27
 """
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
+
+
+def test_yolov4_608_full_resolution_parity(harness, tmp_path, rng):
+    """BASELINE config 2 is yolov4 at FULL 608 — round 1 only gated 224.
+    The s2d-stem + CSP pipeline must hold activation parity at the real
+    deployment resolution (different padding/grid geometry than 224)."""
+    from darknet_tpu import model_zoo
+
+    _compare(model_zoo.yolov4_cfg(608, 608), tmp_path, harness, rng, 608,
+             atol_act=5e-5, thresh=0.2)
