@@ -109,6 +109,55 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
     return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
 
 
+def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
+    """Batched ProcImage for N cameras: ONE network predict per frame set.
+
+    Upgrades the reference's multi-video loop (yolo_core.cpp:276-392),
+    which pushes each camera's frame through the network sequentially at
+    batch=1; here all N frames ride one batch dimension (one executable,
+    one H2D/D2H round trip per frame set).
+    """
+    import cv2
+
+    from darknet_tpu.apps import visualize as viz
+    from darknet_tpu.apps.tracker import get_most_prob_dets
+
+    letter = getattr(args, "letter_box", False)
+    xs = []
+    for frame in frames_bgr:
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(
+            np.float32) / 255.0
+        if letter:
+            from darknet_tpu.data.image import letterbox_image
+
+            xs.append(letterbox_image(rgb, net.net.w, net.net.h))
+        else:
+            xs.append(cv2.resize(rgb, (net.net.w, net.net.h),
+                                 interpolation=cv2.INTER_LINEAR))
+    dets_b = net.detect_batch(np.stack(xs), thresh=args.thresh,
+                              nms=args.nms_thresh)
+
+    outs = []
+    for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b)):
+        if letter and dets:
+            from darknet_tpu.data.image import correct_boxes_letterbox
+
+            ih, iw = frame.shape[:2]
+            for d in dets:
+                d.bbox = tuple(correct_boxes_letterbox(
+                    np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
+        most_prob = get_most_prob_dets(dets)
+        disp_rgb = cv2.cvtColor(frame.copy(), cv2.COLOR_BGR2RGB)
+        tm = track_managers[i] if track_managers else None
+        if tm is not None:
+            tm.track(most_prob)
+            viz.draw_trackings(disp_rgb, tm.get_tracks(), md.names)
+        else:
+            viz.draw_detections(disp_rgb, most_prob, md.names)
+        outs.append((cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob))
+    return outs
+
+
 def mode_train(args):
     from darknet_tpu.train.trainer import DetectorTrainer
 
@@ -289,9 +338,9 @@ def mode_multi_video(args):
             frames.append(frame)
         if done:
             break
-        for i, frame in enumerate(frames):
-            display, _ = _proc_frame(net, md, frame, args,
-                                     track_manager=tms[i])
+        outs = _proc_frames_batch(net, md, frames, args,
+                                  track_managers=tms)
+        for i, (display, _dets) in enumerate(outs):
             geos[i].proc(tms[i].get_tracks())
             if args.save_output:
                 if writers[i] is None:

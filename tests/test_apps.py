@@ -146,3 +146,42 @@ def test_cli_image_mode(tmp_path, fixtures_dir):
           "-thresh", "0.3",
           "-out_dir", str(tmp_path / "out")])
     assert (tmp_path / "out" / "det_t.jpg").exists()
+
+
+def test_multi_video_batched_predict(tmp_path, fixtures_dir):
+    """Multi-camera frames ride ONE batch dimension (upgrade of
+    yolo_core.cpp:276-392's sequential batch=1 loop): _proc_frames_batch
+    produces per-camera results identical to per-frame _proc_frame."""
+    import cv2
+
+    from darknet_tpu.apps.cli import _proc_frame, _proc_frames_batch
+    from darknet_tpu.config.metadata import Metadata
+    from darknet_tpu.nn.network import Network
+
+    rng = np.random.default_rng(3)
+    frames = [
+        (rng.uniform(0, 255, (120, 160, 3))).astype(np.uint8)
+        for _ in range(3)]
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+    md = Metadata.from_file(str(data))
+
+    net = Network.from_cfg(os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+                           seed=7)
+
+    class A:
+        thresh = 0.1
+        nms_thresh = 0.45
+        letter_box = False
+
+    outs = _proc_frames_batch(net, md, frames, A())
+    assert len(outs) == 3
+    for frame, (display, dets) in zip(frames, outs):
+        d1, dets1 = _proc_frame(net, md, frame, A())
+        assert len(dets) == len(dets1)
+        for a, b in zip(dets, dets1):
+            np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-5)
+        np.testing.assert_array_equal(display, d1)
