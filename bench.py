@@ -36,12 +36,16 @@ def main():
     from darknet_tpu.nn.emit import make_forward
     from darknet_tpu.ops import yolo as yoloops
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    int8 = "--int8" in sys.argv
+    batch = int(args[0]) if args else 64
     size = 608
 
     graph = build_graph(model_zoo.yolov4_cfg(size, size))
     params = paramlib.init_params(graph, seed=0)
     params = paramlib.fuse_conv_batchnorm(graph, params)
+    if int8:
+        params = paramlib.quantize_conv_params(graph, params)
     params = jax.device_put(params)
 
     fwd = make_forward(graph, compute_dtype=jnp.bfloat16, fused_bn=True)
@@ -99,7 +103,9 @@ def main():
     b1_amortized = (time.perf_counter() - t0) / 30 * 1000
 
     print(json.dumps({
-        "metric": "yolov4-608 images/sec/chip (bf16 inference, on-device decode)",
+        "metric": "yolov4-608 images/sec/chip "
+                  + ("(int8" if int8 else "(bf16")
+                  + " inference, on-device decode)",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

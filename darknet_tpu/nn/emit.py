@@ -181,6 +181,13 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                             x, p, l_eff, train=True,
                             compute_dtype=compute_dtype))
                     cur, st = block(cur, p)
+                elif not train and "w_q" in p:
+                    from darknet_tpu.ops.conv import conv_block_int8
+
+                    cur = conv_block_int8(
+                        cur, p, l_eff,
+                        compute_dtype=compute_dtype or jnp.float32)
+                    st = None
                 else:
                     cur, st = conv_block(cur, p, l_eff, train=train,
                                          compute_dtype=compute_dtype)

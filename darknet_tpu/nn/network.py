@@ -83,9 +83,12 @@ class Network:
     @classmethod
     def from_cfg(cls, cfg, weights=None, *, train: bool = False,
                  clear: bool = False, fuse: bool | None = None,
-                 compute_dtype=None, seed: int = 0) -> "Network":
+                 compute_dtype=None, seed: int = 0,
+                 int8: bool = False) -> "Network":
         """LoadNetwork (parser.cpp:1852-1876): parse cfg, load weights,
-        fuse conv+BN when not training."""
+        fuse conv+BN when not training.  int8=True additionally quantizes
+        eligible convs for the low-precision inference path (the XNOR
+        analogue; see ops/conv.conv_block_int8)."""
         graph = build_graph(cfg, train=train)
         seen = 0
         if weights is not None:
@@ -101,6 +104,9 @@ class Network:
         if fuse:
             params = paramlib.fuse_conv_batchnorm(graph, params)
             fused = True
+        if int8:
+            assert fused and not train, "int8 is an inference mode"
+            params = paramlib.quantize_conv_params(graph, params)
         if clear:
             seen = 0
         net = cls(graph, params, fused=fused, train=train,

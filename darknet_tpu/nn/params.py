@@ -89,3 +89,37 @@ def fuse_conv_batchnorm(graph, params: list) -> list:
         else:
             out.append(dict(p))
     return out
+
+
+def quantize_conv_params(graph, params: list, *, min_ch: int = 128,
+                         skip_heads: bool = True) -> list:
+    """Add int8 weights to eligible convs for the quantized inference path
+    (ops/conv.conv_block_int8) — the analogue of the reference's
+    binarize_weights (convolutional_layer.cpp:42), with per-output-channel
+    symmetric absmax scales instead of per-filter means.
+
+    Call AFTER fuse_conv_batchnorm.  Eligible: groups==1, dilation==1, no
+    weight sharing, min(c, n) >= min_ch (small layers are overhead-bound),
+    and — when skip_heads — not a conv feeding a detection head (kept
+    full-precision for accuracy, standard int8 deployment practice).
+    """
+    head_inputs = set()
+    if skip_heads:
+        for l in graph.layers:
+            if l.kind in ("yolo", "gaussian_yolo", "detection"):
+                head_inputs.add(l.index - 1)
+    out = []
+    for l, p in zip(graph.layers, params):
+        p = dict(p)
+        if (l.kind == "convolutional" and l.groups == 1 and l.dilation == 1
+                and l.share_index is None and "w" in p
+                and min(l.c, l.n) >= min_ch
+                and l.index not in head_inputs):
+            w = np.asarray(p["w"], dtype=np.float32)
+            absmax = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0),
+                                1e-8)
+            scale = (absmax / 127.0).astype(np.float32)
+            p["w_q"] = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            p["w_scale"] = scale
+        out.append(p)
+    return out

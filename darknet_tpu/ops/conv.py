@@ -96,6 +96,43 @@ def fold_bn(w, b, scales, mean, var, eps: float = BN_EPS):
     return w2, b2
 
 
+def conv_block_int8(x, p, l, *, compute_dtype=jnp.bfloat16):
+    """Quantized inference conv: dynamic per-tensor activation int8 +
+    per-output-channel weight int8, int32 accumulation on the MXU's int8
+    path, f32 dequant+bias epilogue, activation in the compute dtype.
+
+    The TPU-native analogue of the reference's XNOR/binary fast path
+    (gemm.c:1334 bit-GEMM, convolutional_layer.cpp:1005-1120): darknet
+    binarizes dynamically per forward with a per-filter mean; int8 with
+    per-channel absmax scales is the MXU equivalent (measured 1.1-1.3x
+    bf16 conv rate on v5e; bit-XNOR itself has no MXU mapping).
+
+    `p` must carry "w_q" (int8 HWIO) and "w_scale" ((N,) f32) from
+    nn/params.quantize_conv_params; BN must already be folded.
+    """
+    padding = darknet_conv_padding(
+        l.size, l.pad, l.dilation, (l.h, l.w), (l.stride_y, l.stride_x),
+        (l.out_h, l.out_w))
+    absmax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+    x_scale = absmax / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
+                   -127, 127).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        x_q, p["w_q"],
+        window_strides=(l.stride_y, l.stride_x),
+        padding=padding,
+        rhs_dilation=(l.dilation, l.dilation),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=l.groups,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (x_scale * p["w_scale"]) + p["b"]
+    y = y.astype(compute_dtype)
+    y = apply_activation(y, l.activation)
+    if getattr(l, "antialiasing", 0):
+        y = antialias_blur(y, l)
+    return y
+
+
 def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
     """Full darknet conv layer: conv, then BN or bias, then activation.
 

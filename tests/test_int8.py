@@ -1,0 +1,99 @@
+"""int8 quantized inference path (ops/conv.conv_block_int8) — the TPU
+analogue of the reference's XNOR/binary fast path (gemm.c:1334,
+convolutional_layer.cpp:1005-1120)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.nn.emit import make_forward
+
+CFG = """[net]
+batch=1
+subdivisions=1
+width=32
+height=32
+channels=3
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=1
+pad=1
+activation=mish
+[convolutional]
+batch_normalize=1
+filters=160
+size=1
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+filters=6
+size=1
+activation=linear
+[yolo]
+mask=0
+num=1
+classes=1
+anchors=16,16
+"""
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = build_graph(CFG)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=4))
+    x = np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 32, 3)).astype(np.float32)
+    return g, params, x
+
+
+def test_quantize_eligibility(setup):
+    g, params, _ = setup
+    qp = paramlib.quantize_conv_params(g, params)
+    assert "w_q" not in qp[0]          # c=3 < 128: too small
+    assert "w_q" in qp[1] and "w_q" in qp[2]
+    assert "w_q" not in qp[3]          # head conv stays full precision
+    assert qp[1]["w_q"].dtype == np.int8
+    assert qp[1]["w_scale"].shape == (128,)
+    # quantization is per-output-channel symmetric absmax
+    w = np.asarray(params[1]["w"])
+    rec = qp[1]["w_q"].astype(np.float32) * qp[1]["w_scale"]
+    assert np.max(np.abs(rec - w)) <= np.max(np.abs(w)) / 127.0 + 1e-7
+
+
+def test_int8_forward_close_to_f32(setup):
+    g, params, x = setup
+    qp = paramlib.quantize_conv_params(g, params)
+    ref = make_forward(g, fused_bn=True, fuse_regions=False)(params, x)
+    got = make_forward(g, fused_bn=True, fuse_regions=False)(qp, x)
+    a = np.asarray(ref["heads"][0])
+    b = np.asarray(got["heads"][0])
+    # 8-bit dynamic quantization over 2 conv layers: percent-level error
+    assert np.max(np.abs(a - b)) < 0.15
+    assert np.mean(np.abs(a - b)) < 0.02
+    # and decidedly NOT identical (the int8 path actually ran)
+    assert np.max(np.abs(a - b)) > 1e-5
+
+
+def test_int8_network_facade(tmp_path, setup):
+    from darknet_tpu.nn.network import Network
+
+    cfg_path = str(tmp_path / "q.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    net = Network.from_cfg(cfg_path, seed=4, int8=True)
+    assert any("w_q" in p for p in net.params)
+    dets = net.detect(np.zeros((32, 32, 3), np.float32), thresh=0.01)
+    assert isinstance(dets, list)
