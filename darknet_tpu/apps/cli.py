@@ -197,8 +197,12 @@ def mode_valid(args):
                          compute_dtype=net.compute_dtype,
                          fused_bn=net.fused)
     paths = md.load_paths("valid")
+    # the reference's valid mode resizes with its own two-pass bilinear
+    # (load_image + resize_image, data.cpp:695-698) — use the exact port
+    # so CLI mAP numbers are comparable with the reference binary's
     res = validate_detector(net, paths, md.classes, iou_thresh=0.5,
-                            batch=8 if len(paths) >= 8 else 1)
+                            batch=8 if len(paths) >= 8 else 1,
+                            resize="darknet")
     print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")
     print(f" Recall: {res.recall:.4g}%\n Precision: {res.precision:.4g}%")
     for cid, ap in enumerate(res.per_class_ap):

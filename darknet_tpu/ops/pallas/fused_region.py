@@ -49,7 +49,29 @@ ELEMENTWISE_ACTS = frozenset({
 })
 
 
-def kernel_act(y, act: str):
+def _recip(x, approx: bool):
+    """Mosaic's full divide is slow; the approximate reciprocal is exact
+    to ~2^-12 — below bf16 resolution, so it is used only when the
+    kernel's compute dtype is bf16."""
+    if not approx:
+        return 1.0 / x
+    try:
+        # pl.reciprocal is f32-only; round-trip through f32
+        return pl.reciprocal(x.astype(jnp.float32),
+                             approx=True).astype(x.dtype)
+    except Exception:      # interpret/CPU fallback
+        return 1.0 / x
+
+
+def _sigmoid(y, approx: bool):
+    ex = jnp.exp(-jnp.abs(y))
+    s = _recip(1.0 + ex, approx)
+    # sigmoid(|y|) = 1/(1+e^-|y|); reflect for negatives without a
+    # vector compare: sigmoid(y) = 0.5 + sign(y)*(s - 0.5)
+    return 0.5 + jnp.sign(y) * (s - 0.5)
+
+
+def kernel_act(y, act: str, approx: bool = False):
     """Compare-free activations, numerics matching ops/activations.py.
 
     leaky(x) = max(x, 0.1x) is exact; mish uses the same closed form
@@ -73,13 +95,13 @@ def kernel_act(y, act: str):
     if act == "mish":
         ex = jnp.exp(jnp.minimum(y, 20.0))
         q = (1.0 + ex) * (1.0 + ex)
-        return y * (q - 1.0) / (q + 1.0)
+        return y * (q - 1.0) * _recip(q + 1.0, approx)
     if act == "swish":
-        return y * jax.nn.sigmoid(y)
+        return y * _sigmoid(y, approx)
     if act == "logistic":
-        return jax.nn.sigmoid(y)
+        return _sigmoid(y, approx)
     if act == "loggy":
-        return 2.0 * jax.nn.sigmoid(y) - 1.0
+        return 2.0 * _sigmoid(y, approx) - 1.0
     if act == "tanh":
         return jnp.tanh(y)
     if act == "hardtan":
@@ -542,7 +564,8 @@ def build_region_call(plan: RegionPlan, batch: int, *,
         for step in plan.steps:
             if isinstance(step, AddStep):
                 y = slots[step.a] + slots[step.b]
-                slots[step.out_slot] = mask_rows(kernel_act(y, step.act))
+                slots[step.out_slot] = mask_rows(
+                    kernel_act(y, step.act, approx=cd == jnp.bfloat16))
                 continue
             wi += 1
             srcv = [slots[x] for x in step.srcs]
@@ -581,7 +604,7 @@ def build_region_call(plan: RegionPlan, batch: int, *,
             y = acc + b_refs[wi][:]
             if cd != f32:
                 y = y.astype(cd)
-            y = kernel_act(y, step.act)
+            y = kernel_act(y, step.act, approx=cd == jnp.bfloat16)
             slots[step.out_slot] = mask_rows(y.reshape(s, w2, n2))
 
         o_ref[0] = slots[plan.out_slot][rt:rt + t].astype(o_ref.dtype)
