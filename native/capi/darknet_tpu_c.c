@@ -1,0 +1,188 @@
+/* C ABI shim: embeds CPython and drives darknet_tpu.Network.
+ * See darknet_tpu_c.h.  Reference surface: yolo_core.h:625-663. */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "darknet_tpu_c.h"
+
+static int g_inited = 0;
+
+static void ensure_python(void)
+{
+  if (g_inited) return;
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+  }
+  PyGILState_STATE gil = PyGILState_Ensure();
+  /* honor DTPU_PLATFORM (the axon plugin ignores JAX_PLATFORMS env) */
+  const char* plat = getenv("DTPU_PLATFORM");
+  if (plat && *plat) {
+    char buf[256];
+    snprintf(buf, sizeof buf,
+             "import jax; jax.config.update('jax_platforms', '%s')", plat);
+    PyRun_SimpleString(buf);
+  }
+  PyGILState_Release(gil);
+  g_inited = 1;
+}
+
+dtpu_net dtpu_load(const char* cfg_path, const char* weights_path)
+{
+  ensure_python();
+  PyGILState_STATE gil = PyGILState_Ensure();
+  dtpu_net handle = NULL;
+  PyObject* mod = PyImport_ImportModule("darknet_tpu.nn.network");
+  if (!mod) { PyErr_Print(); goto done; }
+  PyObject* cls = PyObject_GetAttrString(mod, "Network");
+  Py_DECREF(mod);
+  if (!cls) { PyErr_Print(); goto done; }
+  PyObject* from_cfg = PyObject_GetAttrString(cls, "from_cfg");
+  Py_DECREF(cls);
+  if (!from_cfg) { PyErr_Print(); goto done; }
+  PyObject* args = Py_BuildValue("(s)", cfg_path);
+  PyObject* kw = PyDict_New();
+  if (weights_path && *weights_path) {
+    PyObject* w = PyUnicode_FromString(weights_path);
+    PyDict_SetItemString(kw, "weights", w);
+    Py_DECREF(w);
+  }
+  PyObject* net = PyObject_Call(from_cfg, args, kw);
+  Py_DECREF(from_cfg);
+  Py_DECREF(args);
+  Py_DECREF(kw);
+  if (!net) { PyErr_Print(); goto done; }
+  handle = (dtpu_net)net;  /* owned reference held by the C caller */
+done:
+  PyGILState_Release(gil);
+  return handle;
+}
+
+static long net_attr_int(dtpu_net net, const char* attr)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  long v = -1;
+  PyObject* cfg = PyObject_GetAttrString((PyObject*)net, "net");
+  if (cfg) {
+    PyObject* a = PyObject_GetAttrString(cfg, attr);
+    Py_DECREF(cfg);
+    if (a) { v = PyLong_AsLong(a); Py_DECREF(a); }
+  }
+  if (PyErr_Occurred()) { PyErr_Print(); v = -1; }
+  PyGILState_Release(gil);
+  return v;
+}
+
+int dtpu_input_w(dtpu_net net) { return (int)net_attr_int(net, "w"); }
+int dtpu_input_h(dtpu_net net) { return (int)net_attr_int(net, "h"); }
+int dtpu_input_c(dtpu_net net) { return (int)net_attr_int(net, "c"); }
+
+int dtpu_classes(dtpu_net net)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  long v = -1;
+  PyObject* r = PyObject_CallMethod((PyObject*)net, "classes", NULL);
+  if (!r) {
+    PyErr_Clear();
+    /* fall back: last head's classes */
+    PyObject* g = PyObject_GetAttrString((PyObject*)net, "graph");
+    if (g) {
+      PyObject* heads = PyObject_CallMethod(g, "heads", NULL);
+      Py_DECREF(g);
+      if (heads && PyList_Size(heads) > 0) {
+        PyObject* h = PyList_GetItem(heads, PyList_Size(heads) - 1);
+        PyObject* c = PyObject_GetAttrString(h, "classes");
+        if (c) { v = PyLong_AsLong(c); Py_DECREF(c); }
+      }
+      Py_XDECREF(heads);
+    }
+  } else {
+    v = PyLong_AsLong(r);
+    Py_DECREF(r);
+  }
+  if (PyErr_Occurred()) { PyErr_Print(); v = -1; }
+  PyGILState_Release(gil);
+  return (int)v;
+}
+
+int dtpu_detect(dtpu_net net, const float* rgb, float thresh, float nms,
+                dtpu_detection* out, int max_out)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int n = -1;
+  int h = 0, w = 0, c = 0;
+  {
+    PyObject* cfg = PyObject_GetAttrString((PyObject*)net, "net");
+    if (!cfg) goto done;
+    PyObject *pw = PyObject_GetAttrString(cfg, "w"),
+             *ph = PyObject_GetAttrString(cfg, "h"),
+             *pc = PyObject_GetAttrString(cfg, "c");
+    Py_DECREF(cfg);
+    if (!pw || !ph || !pc) { Py_XDECREF(pw); Py_XDECREF(ph); Py_XDECREF(pc); goto done; }
+    w = (int)PyLong_AsLong(pw); h = (int)PyLong_AsLong(ph);
+    c = (int)PyLong_AsLong(pc);
+    Py_DECREF(pw); Py_DECREF(ph); Py_DECREF(pc);
+  }
+  {
+    /* numpy array wrapping the caller's buffer (copied by bytes to keep
+       lifetime simple) */
+    PyObject* np = PyImport_ImportModule("numpy");
+    if (!np) { PyErr_Print(); goto done; }
+    Py_ssize_t nbytes = (Py_ssize_t)h * w * c * (Py_ssize_t)sizeof(float);
+    PyObject* bytes = PyBytes_FromStringAndSize((const char*)rgb, nbytes);
+    PyObject* frombuffer = PyObject_GetAttrString(np, "frombuffer");
+    PyObject* arr1d = PyObject_CallFunction(frombuffer, "Os", bytes,
+                                            "float32");
+    Py_DECREF(frombuffer);
+    Py_DECREF(bytes);
+    Py_DECREF(np);
+    if (!arr1d) { PyErr_Print(); goto done; }
+    PyObject* arr = PyObject_CallMethod(arr1d, "reshape", "(iii)", h, w, c);
+    Py_DECREF(arr1d);
+    if (!arr) { PyErr_Print(); goto done; }
+
+    PyObject* dets = PyObject_CallMethod(
+        (PyObject*)net, "detect", "Off", arr, (double)thresh, (double)nms);
+    Py_DECREF(arr);
+    if (!dets) { PyErr_Print(); goto done; }
+
+    Py_ssize_t nd = PyList_Size(dets);
+    if (nd > max_out) nd = max_out;
+    for (Py_ssize_t i = 0; i < nd; i++) {
+      PyObject* d = PyList_GetItem(dets, i);
+      PyObject* bbox = PyObject_GetAttrString(d, "bbox");
+      PyObject* obj = PyObject_GetAttrString(d, "objectness");
+      PyObject* bc = PyObject_GetAttrString(d, "best_class");
+      PyObject* bp = PyObject_GetAttrString(d, "best_prob");
+      if (!bbox || !obj || !bc || !bp) {
+        Py_XDECREF(bbox); Py_XDECREF(obj); Py_XDECREF(bc); Py_XDECREF(bp);
+        Py_DECREF(dets);
+        goto done;
+      }
+      out[i].x = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 0));
+      out[i].y = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 1));
+      out[i].w = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 2));
+      out[i].h = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 3));
+      out[i].objectness = (float)PyFloat_AsDouble(obj);
+      out[i].best_class = (int)PyLong_AsLong(bc);
+      out[i].best_prob = (float)PyFloat_AsDouble(bp);
+      Py_DECREF(bbox); Py_DECREF(obj); Py_DECREF(bc); Py_DECREF(bp);
+    }
+    Py_DECREF(dets);
+    n = (int)nd;
+  }
+done:
+  if (PyErr_Occurred()) PyErr_Print();
+  PyGILState_Release(gil);
+  return n;
+}
+
+void dtpu_free(dtpu_net net)
+{
+  if (!net) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  Py_DECREF((PyObject*)net);
+  PyGILState_Release(gil);
+}

@@ -1,0 +1,41 @@
+/* Minimal C client of the darknet_tpu C ABI: load a cfg, run one
+ * detection pass, print the results.  Exercised by tests/test_capi.py. */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "darknet_tpu_c.h"
+
+int main(int argc, char** argv)
+{
+  if (argc < 2) {
+    fprintf(stderr, "usage: demo cfg [weights] [thresh]\n");
+    return 1;
+  }
+  const char* weights = argc > 2 && argv[2][0] ? argv[2] : NULL;
+  float thresh = argc > 3 ? (float)atof(argv[3]) : 0.25f;
+
+  dtpu_net net = dtpu_load(argv[1], weights);
+  if (!net) { fprintf(stderr, "load failed\n"); return 2; }
+  int w = dtpu_input_w(net), h = dtpu_input_h(net), c = dtpu_input_c(net);
+  printf("net %dx%dx%d classes=%d\n", w, h, c, dtpu_classes(net));
+
+  float* img = (float*)calloc((size_t)w * h * c, sizeof(float));
+  for (int y = h / 4; y < 3 * h / 4; y++)
+    for (int x = w / 4; x < 3 * w / 4; x++)
+      for (int k = 0; k < c; k++) img[(y * w + x) * c + k] = 0.7f;
+
+  dtpu_detection dets[64];
+  int n = dtpu_detect(net, img, thresh, 0.45f, dets, 64);
+  if (n < 0) { fprintf(stderr, "detect failed\n"); return 3; }
+  printf("detections: %d\n", n);
+  for (int i = 0; i < n && i < 5; i++)
+    printf("  [%d] cls=%d prob=%.3f box=(%.3f,%.3f,%.3f,%.3f)\n", i,
+        dets[i].best_class, dets[i].best_prob, dets[i].x, dets[i].y,
+        dets[i].w, dets[i].h);
+
+  free(img);
+  dtpu_free(net);
+  printf("ok\n");
+  return 0;
+}

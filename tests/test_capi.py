@@ -1,0 +1,39 @@
+"""C ABI shim (native/capi): the optional C surface mirroring
+yolo_core.h:625-663 (LoadNetwork / NetworkPredict / GetNetworkBoxes) for
+native clients of the TPU runtime.  Builds the shared library + a C demo
+client and runs it end to end in a subprocess."""
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD = os.environ.get("DTPU_CAPI_BUILD", "/tmp/dtpu_capi")
+
+
+@pytest.fixture(scope="module")
+def demo():
+    script = os.path.join(REPO, "native", "capi", "build.sh")
+    try:
+        r = subprocess.run(["sh", script, BUILD], check=True,
+                           capture_output=True, text=True, timeout=300)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        pytest.skip(f"could not build C ABI shim: {e}")
+    return r.stdout.strip().splitlines()[-1]
+
+
+def test_c_client_end_to_end(demo, fixtures_dir):
+    env = dict(os.environ)
+    env["DTPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [demo, os.path.join(fixtures_dir, "yolov3-tiny.cfg"), "", "0.05"],
+        env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "net 416x416x3 classes=80" in r.stdout
+    assert "ok" in r.stdout
+    n = int([ln for ln in r.stdout.splitlines()
+             if ln.startswith("detections:")][0].split()[1])
+    assert n > 0
