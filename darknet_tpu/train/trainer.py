@@ -244,8 +244,12 @@ class DetectorTrainer:
             {k: np.asarray(v) for k, v in p.items()} for p in self.params]
         params = paramlib.fuse_conv_batchnorm(g_inf, params)
         net = Network(g_inf, params, fused=True)
+        # the reference's in-training mAP loads with its own bilinear
+        # (detector.cpp:218-253 -> load_image + resize_image)
         res = validate_detector(net, self.val_paths, self.classes,
-                                iou_thresh=iou_thresh, progress=False)
+                                iou_thresh=iou_thresh, progress=False,
+                                batch=4 if len(self.val_paths) >= 4 else 1,
+                                resize="darknet")
         return res.map
 
     def save(self, suffix: str = "") -> str:
