@@ -121,3 +121,62 @@ def test_map_parity_vs_reference(harness, dataset, tmp_path):
     # (measured: both sides produce 0.001550 over ~50k predictions)
     assert ref_map > 0, ref_map
     assert r.n_pred > 1000, r.n_pred
+
+
+def test_map_parity_trained_weights(harness, dataset, tmp_path):
+    """Same end-to-end gate with TRAINED weights: 25 training steps on the
+    synthetic dataset first, so activation/score distributions are
+    structured rather than random-init — then both full valid pipelines
+    must still agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from darknet_tpu.eval.map import validate_detector
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.nn import params as paramlib
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.data.image import load_image_rgb, resize_image_darknet
+    from darknet_tpu.data.labels import image_to_label_path, read_box_annot
+    from darknet_tpu.train.step import init_opt_state, make_train_step
+    from darknet_tpu.weights import io as wio
+
+    root, paths, data_file = dataset
+    cfg_path = str(tmp_path / "t.cfg")
+    train_cfg = CFG.replace("batch=1", "batch=8")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+
+    g = build_graph(train_cfg, train=True)
+    params = paramlib.init_params(g, seed=31)
+    opt = init_opt_state(g, params)
+    step = make_train_step(g)
+    x = np.stack([resize_image_darknet(load_image_rgb(p), SIZE, SIZE)
+                  for p in paths[:8]])
+    truths = np.zeros((8, 90, 5), np.float32)
+    for i, p in enumerate(paths[:8]):
+        gt = read_box_annot(image_to_label_path(p))
+        for k, row in enumerate(gt[:90]):
+            truths[i, k] = [row[1], row[2], row[3], row[4], row[0]]
+    c0 = None
+    for it in range(25):
+        params, opt, cost, _m = step(params, opt, jnp.asarray(x),
+                                     jnp.asarray(truths),
+                                     jax.random.PRNGKey(it),
+                                     jnp.float32(1e-3))
+        c0 = c0 or float(cost)
+    assert float(cost) < c0          # actually trained
+
+    weights = str(tmp_path / "trained.weights")
+    wio.save_weights(g, params, weights, seen=25 * 8)
+
+    outb = str(tmp_path / "map2.bin")
+    subprocess.run([harness, "valid", data_file, cfg_path, weights,
+                    "0.5", outb], check=True, capture_output=True,
+                   timeout=900)
+    (ref_map,) = struct.unpack("<f", open(outb, "rb").read(4))
+
+    net = Network.from_cfg(cfg_path, weights=weights, fuse=True)
+    r = validate_detector(net, paths, classes=CLASSES, iou_thresh=0.5,
+                          batch=4, progress=False, resize="darknet")
+    assert abs(r.map - ref_map) <= 1e-3, (r.map, ref_map)
+    assert ref_map > 0
