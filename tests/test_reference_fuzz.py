@@ -1,0 +1,95 @@
+"""PROPERTY-BASED GOLDEN FUZZ: random valid cfgs vs the reference binary.
+
+The hand-written gates cover the model-zoo families; this fuzzer samples
+random layer graphs (conv variants x pool x upsample x shortcut x route
+concats, random activations/BN/strides) with shape tracking, and gates
+each one's raw head activations + pre-NMS detections against the
+compiled reference — combinatorial layer interactions the fixed gates
+can't enumerate.  Seeds are fixed for reproducibility.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_reference_parity import REF, _compare, harness  # noqa: F401
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")),
+    reason="reference tree not available")
+
+ACTS = ["leaky", "mish", "relu", "logistic", "swish", "linear", "tanh",
+        "elu", "gelu"]
+
+
+def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
+    """Sample a random, shape-valid detection cfg."""
+    rng = np.random.default_rng(seed)
+    lines = [f"[net]\nbatch=1\nsubdivisions=1\nwidth={size}\n"
+             f"height={size}\nchannels=3\n"]
+    h = c = None
+    shapes = []            # per-layer (h, w, c)
+    h, w, c = size, size, 3
+
+    def emit(s, nh, nw, nc):
+        nonlocal h, w, c
+        lines.append(s)
+        shapes.append((nh, nw, nc))
+        h, w, c = nh, nw, nc
+
+    # opener: conv so BN/route bookkeeping is sane
+    f0 = int(rng.choice([8, 16]))
+    emit(f"[convolutional]\nbatch_normalize=1\nfilters={f0}\nsize=3\n"
+         f"stride=1\npad=1\nactivation={rng.choice(ACTS[:5])}\n",
+         h, w, f0)
+
+    n_body = int(rng.integers(4, 9))
+    for _ in range(n_body):
+        moves = ["conv", "conv"]
+        if h % 2 == 0 and h >= 16:
+            moves += ["conv_s2", "maxpool"]
+        if h <= 32:
+            moves.append("upsample")
+        li = len(shapes)
+        if li >= 3 and shapes[-1] == shapes[-3]:
+            moves.append("shortcut3")
+        if li >= 2 and shapes[-1][:2] == shapes[-2][:2]:
+            moves.append("route2")
+        mv = rng.choice(moves)
+        act = rng.choice(ACTS)
+        bn = int(rng.integers(0, 2))
+        filters = int(rng.choice([8, 16, 24, 32]))
+        ksz = int(rng.choice([1, 3]))
+        if mv == "conv":
+            emit(f"[convolutional]\nbatch_normalize={bn}\n"
+                 f"filters={filters}\nsize={ksz}\nstride=1\npad=1\n"
+                 f"activation={act}\n", h, w, filters)
+        elif mv == "conv_s2":
+            emit(f"[convolutional]\nbatch_normalize={bn}\n"
+                 f"filters={filters}\nsize=3\nstride=2\npad=1\n"
+                 f"activation={act}\n", h // 2, w // 2, filters)
+        elif mv == "maxpool":
+            emit("[maxpool]\nsize=2\nstride=2\n", h // 2, w // 2, c)
+        elif mv == "upsample":
+            emit("[upsample]\nstride=2\n", h * 2, w * 2, c)
+        elif mv == "shortcut3":
+            emit(f"[shortcut]\nfrom=-3\nactivation={rng.choice(ACTS[:5])}\n",
+                 h, w, c)
+        else:  # route2: concat previous two
+            emit("[route]\nlayers=-1,-2\n", h, w,
+                 shapes[-1][2] + shapes[-2][2])
+
+    n_mask = 2
+    f = n_mask * (5 + classes)
+    emit(f"[convolutional]\nfilters={f}\nsize=1\nstride=1\npad=1\n"
+         f"activation=linear\n", h, w, f)
+    lines.append(f"[yolo]\nmask=0,1\nnum=3\nclasses={classes}\n"
+                 "anchors=10,14, 23,27, 37,58\nscale_x_y=1.05\n")
+    return "\n".join(lines)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 67, 101, 137, 211, 251])
+def test_random_graph_parity(harness, tmp_path, rng, seed):
+    cfg = random_cfg(seed)
+    _compare(cfg, tmp_path, harness, rng, 64, atol_act=2e-5, thresh=0.2)
