@@ -256,3 +256,76 @@ def test_train_delta_parity_v1_detection(harness, tmp_path, rng):
     truths[0, 1] = [0.7, 0.65, 0.3, 0.25, 0]
     truths[1, 0] = [0.6, 0.4, 0.4, 0.35, 2]
     _gate(V1_CFG, tmp_path, harness, rng, truths)
+
+
+def _random_loss_cfg(seed: int):
+    """Random yolo-head loss configuration (the quirk space: IoU-loss
+    family, focal loss, label smoothing, per-class multipliers, the
+    iou_thresh extra-match path, scale_x_y, normalizers, max_delta)."""
+    rng = np.random.default_rng(seed)
+    classes = int(rng.integers(2, 8))
+    n_mask = int(rng.integers(1, 3))
+    total = n_mask + int(rng.integers(0, 3))
+    mask = ",".join(str(i) for i in range(n_mask))
+    anchors = ", ".join(f"{int(a)},{int(b)}" for a, b in
+                        rng.integers(8, 90, (total, 2)))
+    opts = [f"mask={mask}", f"num={total}", f"classes={classes}",
+            f"anchors={anchors}", "max=8"]
+    opts.append(f"iou_loss={rng.choice(['mse','iou','giou','diou','ciou'])}")
+    opts.append(f"ignore_thresh={rng.choice([.5, .7])}")
+    if rng.integers(0, 2):
+        opts.append("focal_loss=1")
+    if rng.integers(0, 2):
+        opts.append("label_smooth_eps=0.1")
+    if rng.integers(0, 2):
+        opts.append(f"iou_thresh={rng.choice([0.213, 0.5])}")
+        opts.append(f"iou_thresh_kind={rng.choice(['iou','giou','ciou'])}")
+    if rng.integers(0, 2):
+        cpc = ",".join(str(int(v)) for v in rng.integers(1, 30, classes))
+        opts.append(f"counters_per_class={cpc}")
+    if rng.integers(0, 2):
+        opts.append(f"scale_x_y={rng.choice([1.05, 1.1, 2.0])}")
+    opts.append(f"iou_normalizer={rng.choice([0.07, 0.5, 1.0])}")
+    opts.append(f"cls_normalizer={rng.choice([0.5, 1.0])}")
+    if rng.integers(0, 2):
+        opts.append(f"max_delta={rng.choice([2, 5])}")
+    f = n_mask * (5 + classes)
+    head = "\n".join(opts)
+    cfg = f"""[net]
+batch=2
+subdivisions=1
+width=64
+height=64
+channels=3
+learning_rate=0.001
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride={int(rng.choice([2, 4]))}
+pad=1
+activation={rng.choice(['leaky', 'mish'])}
+[convolutional]
+filters={f}
+size=1
+activation=linear
+[yolo]
+{head}
+"""
+    truths = np.zeros((2, 8, 5), np.float32)
+    n_t = rng.integers(1, 4, 2)
+    for b in range(2):
+        for t in range(int(n_t[b])):
+            w, h = rng.uniform(0.1, 0.6, 2)
+            truths[b, t] = [rng.uniform(w / 2, 1 - w / 2),
+                            rng.uniform(h / 2, 1 - h / 2), w, h,
+                            rng.integers(0, classes)]
+    return cfg, truths
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29, 43, 71, 97, 113, 151])
+def test_train_delta_fuzz(harness, tmp_path, rng, seed):
+    """Property-based training-math gate: random loss configurations and
+    truths vs TrainNetworkDatum."""
+    cfg, truths = _random_loss_cfg(seed)
+    _gate(cfg, tmp_path, harness, rng, truths, atol=5e-5)
