@@ -11,6 +11,7 @@ hands over the ready batch and immediately kicks off the next one.  Mosaic
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import threading
 
 import numpy as np
@@ -72,7 +73,14 @@ class DetectionLoader:
             return load_detection_sample(
                 path, w, h, self.boxes, self.classes, rng=rng, **self.aug)
         except Exception:
-            # bad image: reference logs to bad.list and skips; emit zeros
+            # bad image: log to bad.list like the reference
+            # (data.cpp:87-89) and emit zeros
+            try:
+                with open(os.path.join(self.show_imgs_dir, "bad.list"),
+                          "a") as f:
+                    f.write(path + "\n")
+            except OSError:
+                pass
             return (np.zeros((h, w, 3), np.float32),
                     np.zeros((self.boxes, 5), np.float32), {})
 

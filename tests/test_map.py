@@ -112,3 +112,62 @@ def test_loader_show_imgs(dataset, tmp_path):
     ld.next()
     dumps = sorted(os.listdir(out))
     assert len(dumps) == 4 and dumps[0] == "aug_00001.jpg"
+
+
+def test_loader_bad_list(tmp_path):
+    """Corrupt images are logged to bad.list (data.cpp:87-89) and replaced
+    with zero samples instead of crashing the pool."""
+    from darknet_tpu.data.loader import DetectionLoader
+
+    bad = tmp_path / "corrupt.jpg"
+    bad.write_bytes(b"not an image")
+    ld = DetectionLoader([str(bad)], w=32, h=32, batch=2, classes=2,
+                         threads=2, show_imgs_dir=str(tmp_path))
+    x, y = ld.next()
+    assert x.shape == (2, 32, 32, 3) and not x.any()
+    ld.close()
+    logged = (tmp_path / "bad.list").read_text().splitlines()
+    assert str(bad) in logged
+
+
+def test_cli_valid_mode(dataset, tmp_path, capsys):
+    """-mode valid end to end: metadata, threaded validator, darknet
+    resize, report format (detector.cpp:552-559)."""
+    import cv2  # noqa: F401  (dataset fixture needs it anyway)
+
+    from darknet_tpu.apps.cli import main
+
+    lst = tmp_path / "valid.txt"
+    lst.write_text("\n".join(dataset) + "\n")
+    names = tmp_path / "names.txt"
+    names.write_text("a\nb\n")
+    data = tmp_path / "d.data"
+    data.write_text(f"classes=2\nvalid={lst}\nnames={names}\n")
+    cfg = tmp_path / "m.cfg"
+    cfg.write_text("""[net]
+batch=1
+subdivisions=1
+width=32
+height=32
+channels=3
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=21
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+num=3
+classes=2
+anchors=8,8, 12,12, 16,16
+""")
+    main(["-mode", "valid", "-data_file", str(data),
+          "-model_file", str(cfg), "-weights_file", "/nonexistent"])
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out and "Prediction per second" in out
