@@ -123,19 +123,34 @@ def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
     from darknet_tpu.apps.tracker import get_most_prob_dets
 
     letter = getattr(args, "letter_box", False)
-    xs = []
-    for frame in frames_bgr:
-        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(
-            np.float32) / 255.0
-        if letter:
-            from darknet_tpu.data.image import letterbox_image
+    shapes = {f.shape for f in frames_bgr}
+    if letter and len(shapes) == 1:
+        # all cameras share a resolution: letterbox ON DEVICE (the host
+        # CPU resize is the multi-camera bottleneck); BGR->RGB is a
+        # device-side channel flip
+        from darknet_tpu.data.image import make_letterbox_device
 
-            xs.append(letterbox_image(rgb, net.net.w, net.net.h))
-        else:
-            xs.append(cv2.resize(rgb, (net.net.w, net.net.h),
-                                 interpolation=cv2.INTER_LINEAR))
-    dets_b = net.detect_batch(np.stack(xs), thresh=args.thresh,
-                              nms=args.nms_thresh)
+        ih, iw, c = frames_bgr[0].shape
+        key = ("_lbx", ih, iw, net.net.w, net.net.h)
+        fn = getattr(net, "_lbx_cache", {}).get(key)
+        if fn is None:
+            fn = make_letterbox_device(ih, iw, net.net.w, net.net.h, c)
+            net._lbx_cache = {key: fn}
+        x = np.asarray(fn(np.stack(frames_bgr)[..., ::-1]))
+    else:
+        xs = []
+        for frame in frames_bgr:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(
+                np.float32) / 255.0
+            if letter:
+                from darknet_tpu.data.image import letterbox_image
+
+                xs.append(letterbox_image(rgb, net.net.w, net.net.h))
+            else:
+                xs.append(cv2.resize(rgb, (net.net.w, net.net.h),
+                                     interpolation=cv2.INTER_LINEAR))
+        x = np.stack(xs)
+    dets_b = net.detect_batch(x, thresh=args.thresh, nms=args.nms_thresh)
 
     outs = []
     for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b)):

@@ -104,3 +104,35 @@ def letterbox_image(im: np.ndarray, w: int, h: int) -> np.ndarray:
     dy, dx = (h - nh) // 2, (w - nw) // 2
     out[dy:dy + nh, dx:dx + nw, :] = resized
     return out
+
+
+def make_letterbox_device(img_h: int, img_w: int, net_w: int, net_h: int,
+                          channels: int = 3):
+    """Jitted on-device batched letterbox: (N, img_h, img_w, C) uint8 BGR
+    or RGB frames -> (N, net_h, net_w, C) float32 in [0,1], aspect
+    preserved, 0.5-gray padding.
+
+    The device-side analogue of `letterbox_image` for multi-camera
+    streaming: moves the per-frame resize off the single host CPU (the
+    multi-camera bottleneck) onto the accelerator; geometry matches
+    `correct_boxes_letterbox`.  jax.image.resize('linear') uses half-pixel
+    centers like cv2.INTER_LINEAR (values agree to interpolation
+    tolerance, not bit-exactly).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    scale = min(net_w / img_w, net_h / img_h)
+    nw, nh = int(img_w * scale), int(img_h * scale)
+    dy, dx = (net_h - nh) // 2, (net_w - nw) // 2
+
+    @jax.jit
+    def letterbox(frames):
+        x = frames.astype(jnp.float32) / 255.0
+        r = jax.image.resize(x, (x.shape[0], nh, nw, channels),
+                             method="linear", antialias=False)
+        return jnp.pad(
+            r, ((0, 0), (dy, net_h - nh - dy), (dx, net_w - nw - dx),
+                (0, 0)), constant_values=0.5)
+
+    return letterbox

@@ -185,3 +185,34 @@ def test_multi_video_batched_predict(tmp_path, fixtures_dir):
         for a, b in zip(dets, dets1):
             np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-5)
         np.testing.assert_array_equal(display, d1)
+
+
+def test_multi_video_device_letterbox(tmp_path, fixtures_dir):
+    """letter_box multi-camera path preprocesses ON DEVICE; detections
+    match the host letterbox path to interpolation tolerance."""
+    from darknet_tpu.apps.cli import _proc_frame, _proc_frames_batch
+    from darknet_tpu.config.metadata import Metadata
+    from darknet_tpu.nn.network import Network
+
+    rng = np.random.default_rng(9)
+    frames = [(rng.uniform(0, 255, (120, 200, 3))).astype(np.uint8)
+              for _ in range(2)]
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+    md = Metadata.from_file(str(data))
+    net = Network.from_cfg(os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+                           seed=7)
+
+    class A:
+        thresh = 0.1
+        nms_thresh = 0.45
+        letter_box = True
+
+    outs = _proc_frames_batch(net, md, frames, A())
+    assert len(outs) == 2
+    for frame, (_display, dets) in zip(frames, outs):
+        _d1, dets1 = _proc_frame(net, md, frame, A())
+        assert abs(len(dets) - len(dets1)) <= max(2, len(dets1) // 10)
