@@ -42,6 +42,8 @@ class DetectionLoader:
         self.show_imgs = show_imgs          # dump N augmented samples/batch
         self.show_imgs_dir = show_imgs_dir
         self._show_counter = 0
+        if show_imgs:
+            os.makedirs(show_imgs_dir, exist_ok=True)
         self.w, self.h = w, h
         self.batch = batch
         self.boxes = boxes
