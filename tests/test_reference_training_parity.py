@@ -329,3 +329,62 @@ def test_train_delta_fuzz(harness, tmp_path, rng, seed):
     truths vs TrainNetworkDatum."""
     cfg, truths = _random_loss_cfg(seed)
     _gate(cfg, tmp_path, harness, rng, truths, atol=5e-5)
+
+
+def _random_gaussian_cfg(seed: int):
+    """Random Gaussian-YOLO head config: yolo_point anchoring variants,
+    IoU-family mu gradients vs pure NLL, uc_normalizer split."""
+    rng = np.random.default_rng(seed)
+    classes = int(rng.integers(2, 6))
+    n_mask = int(rng.integers(1, 3))
+    total = n_mask + int(rng.integers(0, 2))
+    mask = ",".join(str(i) for i in range(n_mask))
+    anchors = ", ".join(f"{int(a)},{int(b)}" for a, b in
+                        rng.integers(8, 80, (total, 2)))
+    opts = [f"mask={mask}", f"num={total}", f"classes={classes}",
+            f"anchors={anchors}", "max=8",
+            f"ignore_thresh={rng.choice([.5, .7])}",
+            f"iou_loss={rng.choice(['mse', 'giou', 'ciou'])}",
+            f"uc_normalizer={rng.choice([0.5, 1.0])}",
+            f"iou_normalizer={rng.choice([0.25, 0.5])}",
+            f"yolo_point={rng.choice(['center', 'left_top',
+                                      'right_bottom'])}"]
+    if rng.integers(0, 2):
+        opts.append(f"scale_x_y={rng.choice([1.05, 1.1])}")
+    f = n_mask * (9 + classes)
+    cfg = f"""[net]
+batch=2
+subdivisions=1
+width=64
+height=64
+channels=3
+learning_rate=0.001
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=4
+pad=1
+activation=leaky
+[convolutional]
+filters={f}
+size=1
+activation=linear
+[Gaussian_yolo]
+""" + "\n".join(opts) + "\n"
+    truths = np.zeros((2, 8, 5), np.float32)
+    for b in range(2):
+        for t in range(int(rng.integers(1, 3))):
+            w, h = rng.uniform(0.15, 0.5, 2)
+            truths[b, t] = [rng.uniform(w / 2, 1 - w / 2),
+                            rng.uniform(h / 2, 1 - h / 2), w, h,
+                            rng.integers(0, classes)]
+    return cfg, truths
+
+
+@pytest.mark.parametrize("seed", [7, 31, 53, 89, 127])
+def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
+    """Gaussian-YOLO training-math fuzz: yolo_point/IoU-mu/NLL quirk space
+    vs the binary (gaussian_yolo_layer.cpp:195-358, 632-648)."""
+    cfg, truths = _random_gaussian_cfg(seed)
+    _gate(cfg, tmp_path, harness, rng, truths, atol=3e-4)
