@@ -191,7 +191,8 @@ def yolov4_cfg(width: int = 608, height: int = 608,
 
 def yolov3_cfg(width: int = 416, height: int = 416,
                classes: int = COCO_CLASSES, gaussian: bool = False,
-               batch: int = 64, subdiv: int = 8) -> str:
+               batch: int = 64, subdiv: int = 8,
+               spp: bool = False) -> str:
     per = (classes + 9) if gaussian else (classes + 5)
     f = 3 * per
     s = _net(width, height, batch, subdiv)
@@ -211,10 +212,20 @@ def yolov3_cfg(width: int = 416, height: int = 416,
     s += res_stage(512, 8)                                # 37-61 (61 = P4)
     s += res_stage(1024, 4)                               # 62-74
     # head P5
-    for _ in range(2):                                    # 75-78
+    s += _conv(512, 1, act="leaky")                       # 75
+    s += _conv(1024, 3, act="leaky")                      # 76
+    s += _conv(512, 1, act="leaky")                       # 77
+    if spp:
+        # classic yolov3-spp block: parallel maxpools 5/9/13 + concat
+        s += "[maxpool]\nstride=1\nsize=5\n\n"            # 78
+        s += _route("-2")                                 # 79
+        s += "[maxpool]\nstride=1\nsize=9\n\n"            # 80
+        s += _route("-4")                                 # 81
+        s += "[maxpool]\nstride=1\nsize=13\n\n"           # 82
+        s += _route("-1,-3,-5,-6")                        # 83
         s += _conv(512, 1, act="leaky")
-        s += _conv(1024, 3, act="leaky")
-    s += _conv(512, 1, act="leaky")                       # 79
+    s += _conv(1024, 3, act="leaky")
+    s += _conv(512, 1, act="leaky")                       # 79 / 86
     s += _conv(1024, 3, act="leaky")                      # 80
     s += _conv(f, 1, act="linear", bn=False)              # 81
     s += _yolo("6,7,8", _V3_ANCHORS, classes, 9, gaussian=gaussian)  # 82
@@ -323,3 +334,9 @@ MODELS = {
     "yolov4-tiny": yolov4_tiny_cfg,
     "gaussian_yolov3": gaussian_yolov3_cfg,
 }
+
+
+def yolov3_spp_cfg(width: int = 416, height: int = 416,
+                   classes: int = COCO_CLASSES, **kw) -> str:
+    """Classic yolov3-spp: darknet53 + the 5/9/13 SPP block at P5."""
+    return yolov3_cfg(width, height, classes, spp=True, **kw)

@@ -377,3 +377,11 @@ def test_yolov4_608_full_resolution_parity(harness, tmp_path, rng):
 
     _compare(model_zoo.yolov4_cfg(608, 608), tmp_path, harness, rng, 608,
              atol_act=5e-5, thresh=0.2)
+
+
+def test_yolov3_spp_parity(harness, tmp_path, rng):
+    """yolov3-spp (darknet53 + 5/9/13 SPP block) vs the reference binary."""
+    from darknet_tpu import model_zoo
+
+    _compare(model_zoo.yolov3_spp_cfg(224, 224), tmp_path, harness, rng,
+             224, thresh=0.2)
