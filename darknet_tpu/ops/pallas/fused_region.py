@@ -133,12 +133,18 @@ class ConvStep:
     out_slot: int
     w_fn: Callable               # params -> orig (kh, kw, sum(srcs_c), n)
     b_fn: Callable               # params -> orig (n,)
+    sy: int = 1                  # stride (rows / orig W); a strided packed
+    sx: int = 1                  # conv runs at stride (sy, sx) over packed
+                                 # cols: out px 2j'+q reads sx*(2j'+q)+ox-pl
 
     @property
     def taps(self) -> tuple:
-        """Packed taps (dy, dJ): input slab row r+dy, packed col j+dJ."""
+        """Packed taps (dy, dJ): relative to the strided base, output
+        packed col j' phase q reads input packed col sx*j' + dJ, phase p,
+        with v = sx*q + ox - pl_, dJ = v//2, p = v%2 (sx=1 reduces to the
+        round-1 formula)."""
         return tuple(sorted({
-            (oy - self.pt, (q + ox - self.pl_) // 2)
+            (oy - self.pt, (self.sx * q + ox - self.pl_) // 2)
             for oy in range(self.kh) for ox in range(self.kw)
             for q in (0, 1)}))
 
@@ -171,6 +177,9 @@ class RegionPlan:
     stop: int                    # last graph layer covered (inclusive)
     stem: bool = False           # input is the s2d-packed net input
     tile: int = 0                # rows per grid step (set by pick_tile)
+    out_h: int = 0               # stop layer's output dims (for unpack);
+    out_w: int = 0               # == h / 2*w2 for stride-free regions
+    xla_only: bool = False       # contains strided convs (no Pallas path)
 
     @property
     def conv_steps(self):
@@ -200,7 +209,7 @@ def pack_step_weights(step: ConvStep, w):
         dy = oy - step.pt
         for ox in range(step.kw):
             for q in (0, 1):
-                v = q + ox - step.pl_
+                v = step.sx * q + ox - step.pl_
                 base = tap_i[(dy, v // 2)] * 2 * c_tot
                 p = v % 2
                 for si, cs in enumerate(step.srcs_c):
@@ -224,7 +233,7 @@ def pack_step_bias(step: ConvStep, b):
 def _conv_ok(l) -> bool:
     return (l.kind == "convolutional" and l.groups == 1 and l.dilation == 1
             and l.share_index is None and not l.antialiasing
-            and l.stride_x == 1 and l.stride_y == 1
+            and l.stride_x == l.stride_y and l.stride_x in (1, 2)
             and l.size in (1, 3) and l.pad == l.size // 2
             and l.activation in ELEMENTWISE_ACTS
             and not l.binary and not l.xnor)
@@ -248,19 +257,35 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
     if res[1] % 2:
         return None
 
+    # scan forward tracking the CURRENT resolution: stride-2 convs are
+    # allowed (they become strided packed convs), so a region can span
+    # stage boundaries — the packed layout never round-trips through HBM
+    # in unpacked form between stages (the pack/unpack reshapes are
+    # layout COPIES in TPU tiled memory, ~3ms each at 608²/b32)
     end = a
     j = a
+    cur = res
+    wide_run = 0     # consecutive convs with min(c,n) >= 128: packing
+                     # those is pure 2x-FLOPs loss, so stop at a run of 2
     while j < len(layers):
         l = layers[j]
         # route dims reflect concatenated bookkeeping, not a spatial shape;
         # out_h/out_w is authoritative for every kind
-        if (l.out_h, l.out_w) != res:
-            break
-        if l.kind == "convolutional" and (l.h, l.w) != res:
-            break
         if l.kind == "convolutional":
-            if not _conv_ok(l):
+            if (l.h, l.w) != cur or not _conv_ok(l):
                 break
+            if min(l.c, l.n) >= 128:
+                wide_run += 1
+                if wide_run >= 2:
+                    break
+            else:
+                wide_run = 0
+            if l.stride_x == 2 and (cur[0] % 2 or cur[1] % 2
+                                    or l.out_w % 2):
+                break
+            cur = (l.out_h, l.out_w)
+        elif (l.out_h, l.out_w) != cur:
+            break
         elif l.kind == "route":
             if l.groups != 1 or any(s < a - 1 for s in l.layers):
                 break
@@ -344,14 +369,21 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
             hb = max(halo[s.a][1], halo[s.b][1])
         halo[s.out_slot] = (ht, hb)
 
+    strided = any(isinstance(s, ConvStep) and (s.sy > 1 or s.sx > 1)
+                  for s in steps)
     plan = RegionPlan(
         steps=tuple(steps), rt=halo[out][0], rb=halo[out][1],
         h=res[0], w2=res[1] // 2,
         in_c=chan_of[IN_SLOT], out_slot=out, out_c=chan_of[out],
-        start=a, stop=end, stem=stem_steps is not None)
-    plan.tile = pick_tile(plan)
-    if plan.tile is None:
-        return None
+        out_h=layers[end].out_h, out_w=layers[end].out_w,
+        start=a, stop=end, stem=stem_steps is not None,
+        xla_only=strided)
+    if strided:
+        plan.tile = 0          # Pallas kernel doesn't support strides
+    else:
+        plan.tile = pick_tile(plan)
+        if plan.tile is None:
+            return None
     return plan
 
 
@@ -366,7 +398,8 @@ def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve):
                 srcs=srcs, srcs_c=srcs_c, kh=l.size, kw=l.size,
                 pt=l.pad, pl_=l.pad, n=l.n, act=l.activation, out_slot=k,
                 w_fn=(lambda p, k=k: p[k]["w"]),
-                b_fn=(lambda p, k=k: p[k]["b"])))
+                b_fn=(lambda p, k=k: p[k]["b"]),
+                sy=l.stride_y, sx=l.stride_x))
             slot_of[k] = k
             chan_of[k] = l.n
         elif l.kind == "route":
@@ -691,7 +724,7 @@ def run_region_xla(plan: RegionPlan, params, x, *,
         src = slots[step.srcs[0]] if len(step.srcs) == 1 else \
             jnp.concatenate([slots[s] for s in step.srcs], axis=-1)
         y = lax.conv_general_dilated(
-            src.astype(cd), w4.astype(cd), (1, 1),
+            src.astype(cd), w4.astype(cd), (step.sy, step.sx),
             ((-dys[0], dys[-1]), (-djs[0], djs[-1])),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
@@ -700,7 +733,7 @@ def run_region_xla(plan: RegionPlan, params, x, *,
         y = apply_activation(y, step.act)
         slots[step.out_slot] = y
     out = slots[plan.out_slot]
-    return out.reshape(b, plan.h, 2 * plan.w2, plan.out_c)
+    return out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
 
 
 # --------------------------------------------------------------------------
@@ -722,7 +755,7 @@ def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
     same); mode="pallas" uses the single-kernel path.
     """
     cd = compute_dtype
-    if mode == "xla":
+    if mode == "xla" or plan.xla_only:
         return functools.partial(run_region_xla, plan, compute_dtype=cd)
 
     def run(params, x):

@@ -143,18 +143,27 @@ def test_xla_packed_parity(setup):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_region_skips_wide_stages():
-    """256+ channel stages run at full lanes already — fusing them only
-    adds halo recompute; the planner must skip them."""
+def test_region_spans_stages_but_skips_wide_ones():
+    """One region covers the stem + BOTH lane-starved CSP stages via
+    strided packed convs (stage-boundary pack/unpack reshapes are layout
+    COPIES in TPU tiled memory — spanning them was worth ~20% e2e), and
+    stops before stage 3 (>=128ch everywhere: packing it is pure 2x-FLOPs
+    loss)."""
     from darknet_tpu import model_zoo
 
     g = build_graph(model_zoo.yolov4_cfg(128, 128))
     plans = fr.plan_graph_regions(g, stem=True)
-    assert set(plans) == {0, 12}
-    for p in plans.values():
-        for st in p.steps:
-            if isinstance(st, fr.ConvStep):
-                assert st.act in fr.ELEMENTWISE_ACTS
+    assert set(plans) == {0}
+    p = plans[0]
+    assert p.stop == 23 and p.xla_only and p.stem
+    assert (p.out_h, p.out_w, p.out_c) == (32, 32, 128)
+    strides = [st.sx for st in p.steps if isinstance(st, fr.ConvStep)]
+    # layer 11's downsample is an explicit strided packed conv (the stem's
+    # own stride-2 is folded into the s2d algebra)
+    assert strides.count(2) == 1
+    for st in p.steps:
+        if isinstance(st, fr.ConvStep):
+            assert st.act in fr.ELEMENTWISE_ACTS
 
 
 def test_kernel_act_matches_reference():
