@@ -312,12 +312,19 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
                     return True
         return False
 
-    while end > a and consumed_outside(end):
-        end -= 1
-    # region output must be the tensor flowing to layer end+1
-    while end >= a and layers[end].kind == "route" and \
-            len(layers[end].layers) > 1:
-        end -= 1   # a multi-concat output tensor is never materialized
+    # alternate both trims to a fixpoint: dropping a trailing route can
+    # expose inner layers it consumed, and vice versa
+    changed = True
+    while changed and end >= a:
+        changed = False
+        while end > a and consumed_outside(end):
+            end -= 1
+            changed = True
+        # region output must be the tensor flowing to layer end+1
+        while end >= a and layers[end].kind == "route" and \
+                len(layers[end].layers) > 1:
+            end -= 1   # a multi-concat output tensor is never materialized
+            changed = True
     n_convs = sum(1 for k in range(a, end + 1)
                   if layers[k].kind == "convolutional")
     if end < a or n_convs < 3:

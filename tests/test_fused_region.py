@@ -176,3 +176,21 @@ def test_kernel_act_matches_reference():
         want = np.asarray(apply_activation(x, act))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6,
                                    err_msg=act)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 41, 101, 137, 251])
+def test_region_parity_on_random_graphs(seed):
+    """The planner must stay exact on arbitrary graphs: random cfgs (incl.
+    stride-2 convs, maxpools and upsamples that break regions, shortcut/
+    route combos) — packed-region output vs the unfused path."""
+    from tests.test_reference_fuzz import random_cfg
+
+    g = build_graph(random_cfg(seed))
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=1))
+    x = np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = make_forward(g, fused_bn=True, fuse_regions=False)(params, x)
+    got = make_forward(g, fused_bn=True, fuse_regions="xla")(params, x)
+    np.testing.assert_allclose(np.asarray(got["heads"][0]),
+                               np.asarray(ref["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
