@@ -94,22 +94,23 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
     # lane-starved CSP stages (incl. the s2d stem) run as single kernels —
     # one HBM read + one write per stage.  Inference + folded BN only.
     if fuse_regions is None:
-        fuse_regions = (fused_bn and not train
+        fuse_regions = ((fused_bn or train)
                         and jax.default_backend() == "tpu")
     region_runners = {}
     region_plans = {}
-    if fuse_regions and not train and fused_bn:
+    if fuse_regions and (fused_bn or train):
         from darknet_tpu.ops.pallas.fused_region import (plan_graph_regions,
                                                          region_runner)
 
         mode = fuse_regions if isinstance(fuse_regions, str) else "xla"
-        region_plans = plan_graph_regions(graph, stem=stem_s2d)
+        region_plans = plan_graph_regions(graph, stem=stem_s2d, train=train)
         if 0 in region_plans:
             stem_s2d = False        # superseded by the stem region kernel
         region_runners = {
             a: region_runner(p,
                              compute_dtype=compute_dtype or jnp.float32,
-                             interpret=region_interpret, mode=mode)
+                             interpret=region_interpret, mode=mode,
+                             train=train)
             for a, p in region_plans.items()}
     region_plan = None
     if stem_s2d:
@@ -157,7 +158,11 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 continue
             if i in region_runners:
                 plan = region_plans[i]
-                cur = region_runners[i](params, cur)
+                if train:
+                    cur, r_stats = region_runners[i](params, cur)
+                    bn_stats.update(r_stats)
+                else:
+                    cur = region_runners[i](params, cur)
                 skip_until = plan.stop + 1
                 if plan.stop in live:
                     outs[plan.stop] = cur

@@ -132,10 +132,12 @@ class ConvStep:
     act: str
     out_slot: int
     w_fn: Callable               # params -> orig (kh, kw, sum(srcs_c), n)
-    b_fn: Callable               # params -> orig (n,)
+    b_fn: Callable               # params -> orig (n,) (BN beta when bn)
     sy: int = 1                  # stride (rows / orig W); a strided packed
     sx: int = 1                  # conv runs at stride (sy, sx) over packed
                                  # cols: out px 2j'+q reads sx*(2j'+q)+ox-pl
+    bn: bool = False             # training-mode batch norm inside the region
+    s_fn: Callable = None        # params -> BN scales (n,) when bn
 
     @property
     def taps(self) -> tuple:
@@ -248,7 +250,8 @@ def _layer_inputs(layers, j):
     return ins
 
 
-def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
+def _plan_region(graph, a: int, *, stem_steps=None, in_c=None,
+                 train: bool = False):
     """Try to build a maximal region starting at layer `a` whose input is
     layer a-1's output (or the net input via `stem_steps`).  Returns a
     RegionPlan or None."""
@@ -269,6 +272,10 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
                      # those is pure 2x-FLOPs loss, so stop at a run of 2
     while j < len(layers):
         l = layers[j]
+        # training: per-layer gradient gates lower to stop_gradient on the
+        # layer output (emit), which a fused region cannot express inside
+        if train and (l.stopbackward or l.onlyforward or l.train_only_bn):
+            break
         # route dims reflect concatenated bookkeeping, not a spatial shape;
         # out_h/out_w is authoritative for every kind
         if l.kind == "convolutional":
@@ -356,7 +363,8 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
         return ((s, chan_of[s]),)
 
     try:
-        _build_steps(layers, a, end, steps, slot_of, chan_of, resolve)
+        _build_steps(layers, a, end, steps, slot_of, chan_of, resolve,
+                     train)
     except _Unplannable:
         return None
     out = slot_of[end]
@@ -394,7 +402,8 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None):
     return plan
 
 
-def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve):
+def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve,
+                 train=False):
     for k in range(a, end + 1):
         l = layers[k]
         if l.kind == "convolutional":
@@ -406,7 +415,10 @@ def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve):
                 pt=l.pad, pl_=l.pad, n=l.n, act=l.activation, out_slot=k,
                 w_fn=(lambda p, k=k: p[k]["w"]),
                 b_fn=(lambda p, k=k: p[k]["b"]),
-                sy=l.stride_y, sx=l.stride_x))
+                sy=l.stride_y, sx=l.stride_x,
+                bn=bool(train and l.batch_normalize),
+                s_fn=(lambda p, k=k: p[k]["scales"])
+                if train and l.batch_normalize else None))
             slot_of[k] = k
             chan_of[k] = l.n
         elif l.kind == "route":
@@ -500,15 +512,19 @@ def make_stem_steps(graph):
     return [s0, s1], c_in
 
 
-def plan_graph_regions(graph, *, stem: bool = False):
+def plan_graph_regions(graph, *, stem: bool = False, train: bool = False):
     """Scan the graph for fusable regions.  Returns {start_layer: plan};
-    a stem plan's start is 0 (it consumes the net input)."""
+    a stem plan's start is 0 (it consumes the net input).
+
+    train=True plans training regions: BN runs inside the packed layout,
+    gradient-gate layers break regions, and the s2d stem fold is skipped
+    (it presumes folded BN)."""
     from darknet_tpu.ops.stem import stem_pattern
 
     layers = graph.layers
     plans = {}
     i = 0
-    if stem and stem_pattern(graph) and len(layers) > 2:
+    if stem and not train and stem_pattern(graph) and len(layers) > 2:
         stem_steps, in_c = make_stem_steps(graph)
         p = _plan_region(graph, 2, stem_steps=stem_steps, in_c=in_c)
         if p is not None:
@@ -518,7 +534,7 @@ def plan_graph_regions(graph, *, stem: bool = False):
     while i < len(layers):
         if layers[i].kind == "convolutional" and _conv_ok(layers[i]) \
                 and i > 0:
-            p = _plan_region(graph, i)
+            p = _plan_region(graph, i, train=train)
             if p is not None:
                 plans[i] = p
                 i = p.stop + 1
@@ -688,7 +704,7 @@ def build_region_call(plan: RegionPlan, batch: int, *,
 
 
 def run_region_xla(plan: RegionPlan, params, x, *,
-                   compute_dtype=jnp.bfloat16):
+                   compute_dtype=jnp.bfloat16, train: bool = False):
     """Execute the region as p2-packed XLA convs instead of one Pallas
     kernel.
 
@@ -700,6 +716,15 @@ def run_region_xla(plan: RegionPlan, params, x, *,
     (block-sparse-as-dense) MXU FLOPs, and keeps XLA's epilogue fusion of
     bias/activation/shortcut.  Route concats materialize as lane concats;
     the following conv's weight rows absorb the phase interleave.
+
+    train=True: BN runs INSIDE the packed layout (the packed lanes hold
+    [phase0 C | phase1 C] of the same channels, so per-channel batch
+    stats combine the phase pair: mean = avg of lane means, sum-of-square
+    deviations add — exactly `ops/conv.batch_mean_var` math, Bessel
+    1/(N-1)).  The whole region is differentiable (plain lax ops), so
+    `jax.vjp` pulls gradients through it.  Returns (out, bn_stats) with
+    UNPACKED per-channel (mean, var) keyed by layer index for the rolling
+    updates; inference returns just out (BN must be pre-folded then).
     """
     from jax import lax
 
@@ -711,36 +736,60 @@ def run_region_xla(plan: RegionPlan, params, x, *,
     b, h, w, c = x.shape
     xp = x.reshape(b, h, w // 2, 2 * c).astype(cd)
 
+    from darknet_tpu.ops.activations import apply_activation
+    from darknet_tpu.ops.conv import BN_EPS
+
+    bn_stats = {}
     slots = {IN_SLOT: xp}
-    wi = -1
     for step in plan.steps:
         if isinstance(step, AddStep):
-            from darknet_tpu.ops.activations import apply_activation
-
             y = slots[step.a] + slots[step.b]
             slots[step.out_slot] = apply_activation(y, step.act)
             continue
-        wi += 1
-        from darknet_tpu.ops.activations import apply_activation
-
         w2k = pack_step_weights(step, step.w_fn(params))
-        b2 = pack_step_bias(step, step.b_fn(params))
         dys = sorted({dy for dy, _ in step.taps})
         djs = sorted({dj for _, dj in step.taps})
         w4 = w2k.reshape(len(dys), len(djs), 2 * step.c_tot, 2 * step.n)
         src = slots[step.srcs[0]] if len(step.srcs) == 1 else \
             jnp.concatenate([slots[s] for s in step.srcs], axis=-1)
+        out_dtype = cd if (train and cd != jnp.float32) else jnp.float32
+        # f32 compute = the parity path: HIGHEST precision like
+        # ops/conv.conv2d_raw (TPU default f32 conv is bf16-reduced)
+        precision = lax.Precision.HIGHEST if cd == jnp.float32 else None
         y = lax.conv_general_dilated(
             src.astype(cd), w4.astype(cd), (step.sy, step.sx),
             ((-dys[0], dys[-1]), (-djs[0], djs[-1])),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        y = y + b2[0]
-        y = y.astype(cd)
+            precision=precision,
+            preferred_element_type=out_dtype)
+        if train and cd != jnp.float32:
+            y = y.astype(jnp.float32)
+
+        n = step.n
+        beta = jnp.asarray(step.b_fn(params), jnp.float32)
+        if train and step.bn:
+            m2 = jnp.mean(y, axis=(0, 1, 2))                  # (2N,)
+            mean = 0.5 * (m2[:n] + m2[n:])
+            dev = jnp.sum(jnp.square(y - jnp.tile(mean, 2)), axis=(0, 1, 2))
+            cnt = y.shape[0] * y.shape[1] * y.shape[2] * 2
+            var = (dev[:n] + dev[n:]) / max(cnt - 1, 1)
+            bn_stats[step.out_slot] = (mean, var)
+            inv = lax.rsqrt(var + BN_EPS)
+            scales = jnp.asarray(step.s_fn(params), jnp.float32)
+            y = (y - jnp.tile(mean, 2)) * jnp.tile(inv * scales, 2) \
+                + jnp.tile(beta, 2)
+        else:
+            y = y + jnp.concatenate([beta, beta])
+
+        if not train:
+            y = y.astype(cd)
         y = apply_activation(y, step.act)
         slots[step.out_slot] = y
     out = slots[plan.out_slot]
-    return out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
+    out = out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
+    if train:
+        return out, bn_stats
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -749,7 +798,8 @@ def run_region_xla(plan: RegionPlan, params, x, *,
 
 
 def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
-                  interpret: bool = False, mode: str = "pallas"):
+                  interpret: bool = False, mode: str = "pallas",
+                  train: bool = False):
     """Returns run(params, x_nhwc) -> out_nhwc for use in nn/emit.py.
 
     For a stem plan, x is the raw net input (any float dtype); otherwise x
@@ -762,8 +812,9 @@ def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
     same); mode="pallas" uses the single-kernel path.
     """
     cd = compute_dtype
-    if mode == "xla" or plan.xla_only:
-        return functools.partial(run_region_xla, plan, compute_dtype=cd)
+    if mode == "xla" or plan.xla_only or train:
+        return functools.partial(run_region_xla, plan, compute_dtype=cd,
+                                 train=train)
 
     def run(params, x):
         if plan.stem:

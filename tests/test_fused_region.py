@@ -194,3 +194,93 @@ def test_region_parity_on_random_graphs(seed):
     np.testing.assert_allclose(np.asarray(got["heads"][0]),
                                np.asarray(ref["heads"][0]),
                                rtol=1e-4, atol=1e-5)
+
+
+TRAIN_CSP_CFG = CSP_CFG.replace("batch=1", "batch=2")
+
+
+def test_train_region_parity_forward_stats_grads():
+    """Training-mode packed regions: batch-BN inside the packed layout
+    (phase-pair lane combine = ops/conv.batch_mean_var math exactly), and
+    jax.grad through the region matches the unfused train path.
+
+    (On deep nets at random init the f32 grad conditioning floor is ~0.3
+    max-rel — a 1e-6 param perturbation moves grads that much — so the
+    tight gate lives on this shallow net.)"""
+    import jax
+
+    g = build_graph(TRAIN_CSP_CFG, train=True)
+    params = paramlib.init_params(g, seed=5)
+    x = np.random.default_rng(1).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    f_ref = make_forward(g, train=True, fuse_regions=False)
+    f_new = make_forward(g, train=True, fuse_regions="xla")
+    from darknet_tpu.ops.pallas import fused_region as frm
+    plans = frm.plan_graph_regions(g, train=True)
+    assert plans, "no train region planned"
+    assert any(getattr(s, "bn", False)
+               for p in plans.values() for s in p.steps)
+
+    def loss(f):
+        def go(p):
+            r = f(p, x)
+            aux = (r["raw_heads"], r["bn_stats"])
+            return jnp.sum(jnp.square(r["raw_heads"][0])), aux
+        return go
+
+    (v1, (h1, s1)), g1 = jax.value_and_grad(loss(f_ref), has_aux=True)(params)
+    (v2, (h2, s2)), g2 = jax.value_and_grad(loss(f_new), has_aux=True)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1[0]), np.asarray(h2[0]),
+                               rtol=1e-4, atol=1e-4)
+    assert set(s1) == set(s2)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k][0]), np.asarray(s2[k][0]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1[k][1]), np.asarray(s2[k][1]),
+                                   rtol=1e-4, atol=1e-5)
+    for pa, pb in zip(g1, g2):
+        for key in pa:
+            a, b = np.asarray(pa[key]), np.asarray(pb[key])
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=2e-3 * (np.abs(a).max() + 1e-6),
+                err_msg=key)
+
+
+def test_train_step_with_regions_matches():
+    """Full make_train_step with training regions vs without: costs track
+    over several optimizer steps."""
+    import jax
+
+    from darknet_tpu.train.step import init_opt_state, make_train_step
+
+    g = build_graph(TRAIN_CSP_CFG, train=True)
+    x = np.random.default_rng(2).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    truths = np.zeros((2, 8, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.4, 0.4, 3]
+
+    costs = {}
+    for name, fuse in (("unfused", False), ("regions", "xla")):
+        import darknet_tpu.nn.emit as emitlib
+        import darknet_tpu.train.step as steplib
+
+        params = paramlib.init_params(g, seed=5)
+        opt = init_opt_state(g, params)
+        fwd = emitlib.make_forward(g, train=True, fuse_regions=fuse)
+        import unittest.mock as mock
+        with mock.patch.object(steplib, "make_forward",
+                               lambda *a, **kw: fwd):
+            step = steplib.make_train_step(g, jit=True, donate=False)
+        cs = []
+        for it in range(6):
+            params, opt, cost, _m = step(params, opt, jnp.asarray(x),
+                                         jnp.asarray(truths),
+                                         jax.random.PRNGKey(it),
+                                         jnp.float32(1e-3))
+            cs.append(float(cost))
+        costs[name] = cs
+    np.testing.assert_allclose(costs["unfused"], costs["regions"],
+                               rtol=5e-3)
+    assert costs["regions"][-1] < costs["regions"][0]
