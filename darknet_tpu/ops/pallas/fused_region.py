@@ -371,18 +371,7 @@ def _plan_region(graph, a: int, *, stem_steps=None, in_c=None,
     if isinstance(out, tuple):
         return None
 
-    # halo per slot
-    halo = {IN_SLOT: (0, 0)}
-    for s in steps:
-        if isinstance(s, ConvStep):
-            up = max(0, -min(dy for dy, _ in s.taps))
-            dn = max(0, max(dy for dy, _ in s.taps))
-            ht = max(halo[x][0] for x in s.srcs) + up
-            hb = max(halo[x][1] for x in s.srcs) + dn
-        else:
-            ht = max(halo[s.a][0], halo[s.b][0])
-            hb = max(halo[s.a][1], halo[s.b][1])
-        halo[s.out_slot] = (ht, hb)
+    halo = _steps_halo(steps)
 
     strided = any(isinstance(s, ConvStep) and (s.sy > 1 or s.sx > 1)
                   for s in steps)
@@ -434,6 +423,75 @@ def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve,
             steps.append(AddStep(a=sa, b=sb, act=l.activation, out_slot=k))
             slot_of[k] = k
             chan_of[k] = ca
+
+
+def _steps_halo(steps) -> dict:
+    """Halo rows (top, bottom) required at each slot, keyed by slot id."""
+    halo = {IN_SLOT: (0, 0)}
+    for s in steps:
+        if isinstance(s, ConvStep):
+            up = max(0, -min(dy for dy, _ in s.taps))
+            dn = max(0, max(dy for dy, _ in s.taps))
+            ht = max(halo[x][0] for x in s.srcs) + up
+            hb = max(halo[x][1] for x in s.srcs) + dn
+        else:
+            ht = max(halo[s.a][0], halo[s.b][0])
+            hb = max(halo[s.a][1], halo[s.b][1])
+        halo[s.out_slot] = (ht, hb)
+    return halo
+
+
+def hybrid_prefix(plan: RegionPlan):
+    """Largest stride-1 step prefix of an xla_only region that can run as
+    ONE Pallas kernel, leaving the strided remainder to the XLA step loop.
+
+    The motivating case is the s2d stem fold: its conv0'' matmul
+    (K=216, N=256 at 304x152) is HBM-bound under XLA — the 757 MB
+    intermediate round-trips through HBM — but VMEM-resident in the
+    kernel.  A valid cut k requires every step in steps[k:] to reference
+    only the boundary slot (steps[k-1].out_slot) among prefix-produced
+    slots, so the kernel materializes exactly one tensor.
+
+    Returns (sub_plan, k) or None.
+    """
+    steps = plan.steps
+    first_strided = len(steps)
+    for i, s in enumerate(steps):
+        if isinstance(s, ConvStep) and (s.sy > 1 or s.sx > 1):
+            first_strided = i
+            break
+
+    chan = {IN_SLOT: plan.in_c}
+    for s in steps:
+        chan[s.out_slot] = s.n if isinstance(s, ConvStep) else chan[s.a]
+
+    for k in range(first_strided, 1, -1):
+        prefix = steps[:k]
+        if sum(1 for s in prefix if isinstance(s, ConvStep)) < 2:
+            return None
+        if any(isinstance(s, ConvStep) and s.bn for s in prefix):
+            return None
+        boundary = prefix[-1].out_slot
+        produced = {IN_SLOT} | {s.out_slot for s in prefix}
+        ok = True
+        for s in steps[k:]:
+            srcs = s.srcs if isinstance(s, ConvStep) else (s.a, s.b)
+            if any(x in produced and x != boundary for x in srcs):
+                ok = False
+                break
+        if not ok:
+            continue
+        rt, rb = _steps_halo(prefix)[boundary]
+        sub = RegionPlan(
+            steps=tuple(prefix), rt=rt, rb=rb, h=plan.h, w2=plan.w2,
+            in_c=plan.in_c, out_slot=boundary, out_c=chan[boundary],
+            out_h=plan.h, out_w=2 * plan.w2,
+            start=plan.start, stop=plan.start, stem=plan.stem)
+        sub.tile = pick_tile(sub)
+        if sub.tile is None:
+            continue
+        return sub, k
+    return None
 
 
 def pick_tile(plan, budget_bytes=12 * 1024 * 1024, t_max=64):
@@ -681,6 +739,14 @@ def build_region_call(plan: RegionPlan, batch: int, *,
                             memory_space=pltpu.VMEM)
                for st in conv_steps]
 
+    kw = {}
+    if not interpret:
+        # both grid dims are independent (each output tile depends only on
+        # its input tiles): declaring them parallel lets Mosaic pipeline
+        # grid steps instead of serializing — measured 1.5x on the bare
+        # matmul at this geometry (M=2888, K=216)
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     call = pl.pallas_call(
         kernel,
         grid=(batch, n_t),
@@ -689,6 +755,7 @@ def build_region_call(plan: RegionPlan, batch: int, *,
                                lambda b, ti: (b, ti, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((batch, h, w2, out_c2), cd),
         interpret=interpret,
+        **kw,
     )
 
     def run(x_packed, weights, biases):
@@ -726,8 +793,6 @@ def run_region_xla(plan: RegionPlan, params, x, *,
     UNPACKED per-channel (mean, var) keyed by layer index for the rolling
     updates; inference returns just out (BN must be pre-folded then).
     """
-    from jax import lax
-
     cd = compute_dtype
     if plan.stem:
         from darknet_tpu.ops.stem import space_to_depth
@@ -736,12 +801,25 @@ def run_region_xla(plan: RegionPlan, params, x, *,
     b, h, w, c = x.shape
     xp = x.reshape(b, h, w // 2, 2 * c).astype(cd)
 
+    slots = {IN_SLOT: xp}
+    bn_stats = _run_steps_xla(params, slots, plan.steps, cd, train=train)
+    out = slots[plan.out_slot]
+    out = out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
+    if train:
+        return out, bn_stats
+    return out
+
+
+def _run_steps_xla(params, slots, steps, cd, *, train: bool = False):
+    """Execute region steps as packed XLA convs, updating `slots` in
+    place.  Returns bn_stats ({out_slot: (mean, var)}, train only)."""
+    from jax import lax
+
     from darknet_tpu.ops.activations import apply_activation
     from darknet_tpu.ops.conv import BN_EPS
 
     bn_stats = {}
-    slots = {IN_SLOT: xp}
-    for step in plan.steps:
+    for step in steps:
         if isinstance(step, AddStep):
             y = slots[step.a] + slots[step.b]
             slots[step.out_slot] = apply_activation(y, step.act)
@@ -785,11 +863,7 @@ def run_region_xla(plan: RegionPlan, params, x, *,
             y = y.astype(cd)
         y = apply_activation(y, step.act)
         slots[step.out_slot] = y
-    out = slots[plan.out_slot]
-    out = out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
-    if train:
-        return out, bn_stats
-    return out
+    return bn_stats
 
 
 # --------------------------------------------------------------------------
@@ -809,9 +883,40 @@ def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
     mode="xla" runs the packed algebra as plain lax.convs (measured faster
     on v5e than the monolithic Pallas kernel: XLA's transcendental
     lowering and epilogue fusion beat Mosaic's, and the MXU work is the
-    same); mode="pallas" uses the single-kernel path.
+    same); mode="pallas" uses the single-kernel path; mode="hybrid" runs
+    the stride-1 step prefix (hybrid_prefix) as one Pallas kernel and the
+    strided remainder as XLA packed convs — the best of both where the
+    prefix's intermediates (esp. the stem fold's 757 MB conv0'' output at
+    608x608/b32) are HBM-bound under XLA.
     """
     cd = compute_dtype
+    if mode == "hybrid" and not train:
+        pre = hybrid_prefix(plan)
+        if pre is None:
+            mode = "xla" if plan.xla_only else "pallas"
+        else:
+            sub, k = pre
+
+            def run_hybrid(params, x):
+                if plan.stem:
+                    from darknet_tpu.ops.stem import space_to_depth
+
+                    x = space_to_depth(x)
+                b, h, w, c = x.shape
+                x_packed = x.reshape(b, h, w // 2, 2 * c).astype(cd)
+                weights = [pack_step_weights(st, st.w_fn(params))
+                           for st in sub.conv_steps]
+                biases = [pack_step_bias(st, st.b_fn(params))
+                          for st in sub.conv_steps]
+                call = build_region_call(sub, b, compute_dtype=cd,
+                                         interpret=interpret)
+                yp = call(x_packed, weights, biases)
+                slots = {sub.out_slot: yp}
+                _run_steps_xla(params, slots, plan.steps[k:], cd)
+                out = slots[plan.out_slot]
+                return out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
+
+            return run_hybrid
     if mode == "xla" or plan.xla_only or train:
         return functools.partial(run_region_xla, plan, compute_dtype=cd,
                                  train=train)

@@ -143,6 +143,104 @@ def test_xla_packed_parity(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_hybrid_mode_parity(setup):
+    """hybrid = Pallas stride-1 prefix + XLA packed remainder.  The cut
+    must reference only the boundary slot and reproduce the same output."""
+    g, params, x, ref = setup
+    plans = fr.plan_graph_regions(g, stem=True)
+    pre = fr.hybrid_prefix(plans[0])
+    assert pre is not None
+    sub, k = pre
+    assert k >= 2 and sub.tile is not None
+    f = make_forward(g, fused_bn=True, fuse_regions="hybrid",
+                     region_interpret=True)
+    out = f(params, x)
+    np.testing.assert_allclose(np.asarray(out["heads"][0]),
+                               np.asarray(ref["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+STRIDED_CFG = """[net]
+batch=1
+subdivisions=1
+width=64
+height=64
+channels=3
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=mish
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=mish
+[convolutional]
+filters=16
+size=1
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+[shortcut]
+from=-2
+activation=linear
+[convolutional]
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=32
+size=1
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+filters=12
+size=1
+stride=1
+pad=1
+activation=linear
+[yolo]
+mask=0
+classes=7
+anchors=16,16
+"""
+
+
+def test_hybrid_mode_strided_region():
+    """A region containing a stride-2 conv (xla_only) still gets a Pallas
+    prefix under hybrid mode; the strided remainder runs as XLA convs."""
+    g = build_graph(STRIDED_CFG)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=5))
+    x = np.random.default_rng(1).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ref = make_forward(g, fused_bn=True, fuse_regions=False)(params, x)
+    plans = fr.plan_graph_regions(g, stem=True)
+    assert plans, "expected at least one region"
+    a = min(plans)
+    plan = plans[a]
+    assert plan.xla_only, "region should contain the strided conv"
+    pre = fr.hybrid_prefix(plan)
+    assert pre is not None and pre[1] < len(plan.steps)
+    f = make_forward(g, fused_bn=True, fuse_regions="hybrid",
+                     region_interpret=True)
+    out = f(params, x)
+    np.testing.assert_allclose(np.asarray(out["heads"][0]),
+                               np.asarray(ref["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_region_spans_stages_but_skips_wide_ones():
     """One region covers the stem + BOTH lane-starved CSP stages via
     strided packed convs (stage-boundary pack/unpack reshapes are layout
