@@ -66,7 +66,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fused_bn: bool = False, stem_s2d: bool | None = None,
                  pack_first_region: bool = False, remat: bool = False,
                  fuse_regions: bool | None = None,
-                 region_interpret: bool = False):
+                 region_interpret: bool = False,
+                 probe_conv_absmax: bool = False):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -74,7 +75,13 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
       "output": final layer's output tensor
       "bn_stats": {layer_index: (mean, var)} when train
       "raw_heads": raw (pre-activation) head conv outputs when train
+      "conv_in_absmax": {layer_index: scalar max|input|} when
+        probe_conv_absmax — the int8 calibration probe (forces
+        fuse_regions/stem off so every conv is observed)
     """
+    if probe_conv_absmax:
+        fuse_regions = False
+        stem_s2d = False
     live = _liveness(graph)
     layers = graph.layers
     n_dropout = sum(1 for l in layers
@@ -130,6 +137,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
     def forward(params, x, rng=None):
         outs: dict[int, jnp.ndarray] = {}
         bn_stats: dict[int, tuple] = {}
+        conv_absmax: dict[int, jnp.ndarray] = {}
         heads: list = []
         raw_heads: list = []
         cur = x
@@ -169,6 +177,9 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 continue
             k = l.kind
             if k == "convolutional":
+                if probe_conv_absmax:
+                    conv_absmax[i] = jnp.max(jnp.abs(
+                        cur.astype(jnp.float32)))
                 src = l.share_index if l.share_index is not None else i
                 p = params[src]
                 if fused_bn:
@@ -288,6 +299,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         if train:
             result["bn_stats"] = bn_stats
             result["raw_heads"] = raw_heads
+        if probe_conv_absmax:
+            result["conv_in_absmax"] = conv_absmax
         return result
 
     return forward

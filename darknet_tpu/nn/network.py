@@ -121,6 +121,24 @@ class Network:
             net._cfg_text = None
         return net
 
+    def calibrate_int8(self, images) -> None:
+        """Static int8 activation calibration (TensorRT-style): record each
+        quantized conv's input range over `images` (iterable of HWC or BHWC
+        float arrays, network-sized) and bake per-tensor scales so serving
+        skips the per-conv dynamic absmax reduce
+        (ops/conv.conv_block_int8)."""
+        assert any("w_q" in p for p in self.params), \
+            "calibrate_int8 requires int8=True at load"
+        batches = []
+        for im in images:
+            a = np.asarray(im, dtype=np.float32)
+            batches.append(a[None] if a.ndim == 3 else a)
+        absmax = paramlib.calibrate_conv_input_scales(
+            self.graph, self.params, batches,
+            compute_dtype=self.compute_dtype)
+        self.params = paramlib.apply_conv_input_scales(self.params, absmax)
+        self._fwd_cache.clear()
+
     @property
     def curr_iter(self) -> int:
         return self.seen // max(self.net.optimizer_batch, 1)

@@ -123,3 +123,44 @@ def quantize_conv_params(graph, params: list, *, min_ch: int = 128,
             p["w_scale"] = scale
         out.append(p)
     return out
+
+
+def calibrate_conv_input_scales(graph, params: list, batches, *,
+                                compute_dtype=None) -> dict:
+    """Static int8 activation calibration: run inference over calibration
+    `batches` (iterable of (B,H,W,C) arrays) recording each conv layer's
+    input absmax; returns {layer_index: absmax} aggregated by max.
+
+    The dynamic path (conv_block_int8 without "x_scale") computes this
+    per forward like the reference re-binarizes per forward
+    (convolutional_layer.cpp:1005); calibrating once offline is the
+    deployment practice (TensorRT-style) and removes a full-tensor
+    reduction barrier in front of every quantized conv.
+
+    `params` should be post-fuse_conv_batchnorm (quantized or not).
+    """
+    import jax
+
+    from darknet_tpu.nn.emit import make_forward
+
+    fwd = jax.jit(make_forward(graph, fused_bn=True,
+                               compute_dtype=compute_dtype,
+                               probe_conv_absmax=True))
+    agg: dict[int, float] = {}
+    for x in batches:
+        r = fwd(params, np.asarray(x, dtype=np.float32))
+        for i, v in r["conv_in_absmax"].items():
+            agg[i] = max(agg.get(i, 0.0), float(v))
+    return agg
+
+
+def apply_conv_input_scales(params: list, absmax: dict) -> list:
+    """Attach static activation scales: p["x_scale"] = absmax/127 on every
+    quantized conv (one with "w_q") whose index has a calibration entry."""
+    out = []
+    for i, p in enumerate(params):
+        if "w_q" in p and i in absmax:
+            p = dict(p)
+            p["x_scale"] = np.float32(max(float(absmax[i]), 1e-8) / 127.0)
+        out.append(p)
+    return out

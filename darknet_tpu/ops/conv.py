@@ -108,13 +108,22 @@ def conv_block_int8(x, p, l, *, compute_dtype=jnp.bfloat16):
     bf16 conv rate on v5e; bit-XNOR itself has no MXU mapping).
 
     `p` must carry "w_q" (int8 HWIO) and "w_scale" ((N,) f32) from
-    nn/params.quantize_conv_params; BN must already be folded.
+    nn/params.quantize_conv_params; BN must already be folded.  When `p`
+    also carries "x_scale" (a static per-tensor activation scale from
+    nn/params.apply_conv_input_scales, the calibrated-deployment analogue
+    of TensorRT's calibration pass), the dynamic absmax reduce is skipped
+    entirely — the quantize step becomes pure elementwise work that XLA
+    fuses into the producer's epilogue instead of a full-tensor reduction
+    barrier per conv.
     """
     padding = darknet_conv_padding(
         l.size, l.pad, l.dilation, (l.h, l.w), (l.stride_y, l.stride_x),
         (l.out_h, l.out_w))
-    absmax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
-    x_scale = absmax / 127.0
+    if "x_scale" in p:
+        x_scale = p["x_scale"]
+    else:
+        absmax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8)
+        x_scale = absmax / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale),
                    -127, 127).astype(jnp.int8)
     acc = lax.conv_general_dilated(

@@ -87,6 +87,43 @@ def test_int8_forward_close_to_f32(setup):
     assert np.max(np.abs(a - b)) > 1e-5
 
 
+def test_calibration_probe_and_static_scales(setup):
+    """probe_conv_absmax records true per-conv input absmax; static
+    x_scale calibrated on the same batch reproduces the dynamic path."""
+    g, params, x = setup
+    qp = paramlib.quantize_conv_params(g, params)
+    absmax = paramlib.calibrate_conv_input_scales(g, qp, [x])
+    # every conv observed, and layer 0's entry is the input absmax
+    assert set(absmax) == {i for i, l in enumerate(g.layers)
+                           if l.kind == "convolutional"}
+    assert absmax[0] == pytest.approx(float(np.max(np.abs(x))), rel=1e-6)
+
+    sp = paramlib.apply_conv_input_scales(qp, absmax)
+    assert "x_scale" not in sp[0] and "x_scale" in sp[1]
+    assert "x_scale" not in sp[3]            # head conv not quantized
+    dyn = make_forward(g, fused_bn=True, fuse_regions=False)(qp, x)
+    sta = make_forward(g, fused_bn=True, fuse_regions=False)(sp, x)
+    # same batch => same scales => near-identical outputs
+    np.testing.assert_allclose(np.asarray(sta["heads"][0]),
+                               np.asarray(dyn["heads"][0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_static_scales_clip_outliers(setup):
+    """Inputs beyond the calibrated range clip (saturate) instead of
+    rescaling — the defining static-quantization behavior."""
+    g, params, x = setup
+    qp = paramlib.quantize_conv_params(g, params)
+    absmax = paramlib.calibrate_conv_input_scales(g, qp, [x])
+    sp = paramlib.apply_conv_input_scales(qp, absmax)
+    hot = x * 10.0                       # 10x outside calibration range
+    dyn = make_forward(g, fused_bn=True, fuse_regions=False)(qp, hot)
+    sta = make_forward(g, fused_bn=True, fuse_regions=False)(sp, hot)
+    d = np.max(np.abs(np.asarray(dyn["heads"][0]) -
+                      np.asarray(sta["heads"][0])))
+    assert d > 1e-3                      # visibly different: clipping real
+
+
 def test_int8_network_facade(tmp_path, setup):
     from darknet_tpu.nn.network import Network
 
@@ -97,3 +134,11 @@ def test_int8_network_facade(tmp_path, setup):
     assert any("w_q" in p for p in net.params)
     dets = net.detect(np.zeros((32, 32, 3), np.float32), thresh=0.01)
     assert isinstance(dets, list)
+    # static calibration through the facade
+    rng = np.random.default_rng(3)
+    net.calibrate_int8([rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+                        for _ in range(2)])
+    assert any("x_scale" in p for p in net.params)
+    dets2 = net.detect(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32),
+                       thresh=0.01)
+    assert isinstance(dets2, list)

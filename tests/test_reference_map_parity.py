@@ -108,7 +108,7 @@ def test_map_parity_vs_reference(harness, dataset, tmp_path):
     outb = str(tmp_path / "map.bin")
     subprocess.run([harness, "valid", data_file, cfg_path, weights,
                     "0.5", outb], check=True, capture_output=True,
-                   timeout=900)
+                   timeout=900, cwd=BUILD_DIR)
     (ref_map,) = struct.unpack("<f", open(outb, "rb").read(4))
 
     net = Network.from_cfg(cfg_path, weights=weights, fuse=True)
@@ -172,7 +172,7 @@ def test_map_parity_trained_weights(harness, dataset, tmp_path):
     outb = str(tmp_path / "map2.bin")
     subprocess.run([harness, "valid", data_file, cfg_path, weights,
                     "0.5", outb], check=True, capture_output=True,
-                   timeout=900)
+                   timeout=900, cwd=BUILD_DIR)
     (ref_map,) = struct.unpack("<f", open(outb, "rb").read(4))
 
     net = Network.from_cfg(cfg_path, weights=weights, fuse=True)

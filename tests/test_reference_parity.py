@@ -48,7 +48,8 @@ def _run_reference(harness, cfg_path, weights, x_hwc, thresh=0.25, nms=0.45):
     outb = os.path.join(BUILD_DIR, "out.bin")
     x_chw.astype("<f4").tofile(inb)
     subprocess.run([harness, cfg_path, weights, inb, outb, str(thresh),
-                    str(nms)], check=True, capture_output=True, timeout=900)
+                    str(nms)], check=True, capture_output=True, timeout=900,
+                   cwd=BUILD_DIR)
     data = open(outb, "rb").read()
     nboxes, classes = struct.unpack("<ii", data[:8])
     off = 8

@@ -31,8 +31,11 @@ def _run_reference_train(harness, cfg_path, weights, x_bchw, truth_flat):
     outb = os.path.join(BUILD_DIR, "train_out.bin")
     np.ascontiguousarray(x_bchw).astype("<f4").tofile(inb)
     np.ascontiguousarray(truth_flat).astype("<f4").tofile(tb)
+    # cwd=BUILD_DIR: the reference logs bad-label complaints via system()
+    # echo into CWD (data.cpp:197-201) — keep that junk out of the repo
     subprocess.run([harness, "train", cfg_path, weights, inb, tb, outb],
-                   check=True, capture_output=True, timeout=900)
+                   check=True, capture_output=True, timeout=900,
+                   cwd=BUILD_DIR)
     data = open(outb, "rb").read()
     (cost,) = struct.unpack("<f", data[:4])
     (nheads,) = struct.unpack("<i", data[4:8])
