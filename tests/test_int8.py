@@ -124,6 +124,107 @@ def test_static_scales_clip_outliers(setup):
     assert d > 1e-3                      # visibly different: clipping real
 
 
+def test_int8_map_accuracy(tmp_path):
+    """End-to-end accuracy of the quantized path: mAP over a synthetic
+    labeled set with a briefly-trained net — f32 vs dynamic int8 vs
+    static-calibrated int8 must agree closely (the deployment guarantee
+    behind the --int8 bench headline)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from darknet_tpu.eval.map import validate_detector
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.train.step import init_opt_state, make_train_step
+    from darknet_tpu.weights import io as wio
+
+    size, classes = 64, 2
+    cfg = f"""[net]
+batch=8
+subdivisions=1
+width={size}
+height={size}
+channels=3
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=128
+size=3
+stride=2
+pad=1
+activation=mish
+[convolutional]
+filters=21
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+num=3
+classes={classes}
+anchors=6,6, 12,12, 24,16
+"""
+    cfg_path = str(tmp_path / "q.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+
+    rng = np.random.default_rng(9)
+    paths = []
+    truths = np.zeros((16, 90, 5), np.float32)
+    xs = []
+    for i in range(16):
+        img = rng.integers(0, 60, (size, size, 3), np.uint8)
+        cx, cy, w, h = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7), .3, .3
+        x0, y0 = int((cx - w / 2) * size), int((cy - h / 2) * size)
+        cls = int(rng.integers(0, classes))
+        img[y0:y0 + int(h * size), x0:x0 + int(w * size)] = \
+            (220, 40, 40) if cls == 0 else (40, 220, 40)
+        p = str(tmp_path / f"im{i}.png")
+        cv2.imwrite(p, img)
+        with open(str(tmp_path / f"im{i}.txt"), "w") as f:
+            f.write(f"{cls} {cx} {cy} {w} {h}\n")
+        paths.append(p)
+        truths[i, 0] = [cx, cy, w, h, cls]
+        xs.append(img[..., ::-1].astype(np.float32) / 255.0)
+    x = np.stack(xs)
+
+    from darknet_tpu.graph.builder import build_graph
+    g = build_graph(cfg, train=True)
+    params = paramlib.init_params(g, seed=3)
+    opt = init_opt_state(g, params)
+    step = make_train_step(g)
+    for it in range(2):
+        for lo in range(0, 16, 8):
+            params, opt, cost, _m = step(
+                params, opt, jnp.asarray(x[lo:lo + 8]),
+                jnp.asarray(truths[lo:lo + 8]),
+                jax.random.PRNGKey(it * 2 + lo), jnp.float32(1e-3))
+    weights = str(tmp_path / "q.weights")
+    wio.save_weights(g, params, weights, seen=32)
+
+    def run_map(calibrate=False, **kw):
+        net = Network.from_cfg(cfg_path, weights=weights, fuse=True, **kw)
+        if calibrate:
+            net.calibrate_int8(x[:8])
+        r = validate_detector(net, paths, classes=classes,
+                              iou_thresh=0.5, batch=4, progress=False)
+        return r.map, net
+
+    m_f32, _ = run_map()
+    m_dyn, _ = run_map(int8=True)
+    m_sta, net_sta = run_map(int8=True, calibrate=True)
+    assert any("x_scale" in p for p in net_sta.params)
+    # a few training steps give structured (nonzero-mAP) predictions
+    assert m_f32 > 0
+    assert abs(m_dyn - m_f32) < 0.05, (m_dyn, m_f32)
+    assert abs(m_sta - m_dyn) < 0.02, (m_sta, m_dyn)
+
+
 def test_int8_network_facade(tmp_path, setup):
     from darknet_tpu.nn.network import Network
 
