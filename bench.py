@@ -74,7 +74,8 @@ def main():
         outs = []
         for t, l in zip(r["heads"], heads):
             boxes, obj, cls = yoloops.yolo_decode(t, l, size, size,
-                                                  order="native")
+                                                  order="native",
+                                                  score_dtype=jnp.bfloat16)
             outs.append((boxes, obj, cls))
         boxes = jnp.concatenate([o[0] for o in outs], axis=1)
         obj = jnp.concatenate([o[1] for o in outs], axis=1)
@@ -82,7 +83,7 @@ def main():
         # scalar checksum: timing fetches ONE f32, forcing execution without
         # paying a bulk device->host readback (block_until_ready does not
         # actually block over the axon tunnel)
-        chk = jnp.sum(obj) + jnp.sum(boxes[..., 0])
+        chk = jnp.sum(obj.astype(jnp.float32)) + jnp.sum(boxes[..., 0])
         return boxes, obj, cls, chk
 
     x = np.random.default_rng(0).uniform(

@@ -47,7 +47,8 @@ def yolo_activate(x, l):
 
 
 def yolo_decode(activated, l, net_w: int, net_h: int,
-                order: str = "reference"):
+                order: str = "reference", score_dtype=None,
+                layout: str = "packed"):
     """Activated head output -> (boxes, obj, cls_prob) with relative coords.
 
     boxes: (B, H*W*A, 4) center-format (x, y, w, h); obj: (B, H*W*A);
@@ -58,6 +59,19 @@ def yolo_decode(activated, l, net_w: int, net_h: int,
     binary.  order="native" flattens (H, W, A) directly — no transposes
     (which relayout ~100MB+ per batch at 608²) — for the production path
     where box ordering is immaterial (NMS sorts by score anyway).
+
+    score_dtype (e.g. bf16) applies to obj/cls only — scores are
+    probabilities used for ranking/thresholding, where bf16's ~3 decimal
+    digits suffice; it halves the dominant HBM stream (cls is
+    B x HWA x classes, by far the largest decode output).  Boxes stay f32:
+    NMS IoU and the mAP gates need full coordinate precision.
+
+    layout="planar" (order="native" only) returns boxes as a 4-tuple of
+    (B, H*W*A) f32 arrays instead of one (B, H*W*A, 4) array.  A
+    trailing dim of 4 occupies 4 of the 128 vector lanes in the output
+    tiling (up to 32x write amplification); planar coordinates are
+    lane-dense, and box math (IoU, NMS) consumes per-coordinate vectors
+    anyway.
     """
     e = 4 + 1 + l.classes
     b, h, w, _ = activated.shape
@@ -76,7 +90,14 @@ def yolo_decode(activated, l, net_w: int, net_h: int,
     bh = jnp.exp(v[..., 3].astype(f32)) * ah / net_h
     obj = v[..., 4]
     cls = v[..., 5:]
+    if score_dtype is not None:
+        obj = obj.astype(score_dtype)
+        cls = cls.astype(score_dtype)
 
+    if layout == "planar":
+        assert order == "native", "planar layout implies native order"
+        return (tuple(v.reshape(b, -1) for v in (bx, by, bw, bh)),
+                obj.reshape(b, -1), cls.reshape(b, -1, l.classes))
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)       # (B,H,W,A,4)
     if order == "native":
         return (boxes.reshape(b, -1, 4), obj.reshape(b, -1),

@@ -95,6 +95,33 @@ def test_yolo_activate_and_decode(rng):
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_yolo_decode_score_dtype(rng):
+    """Serving precision: score_dtype casts obj/cls only; boxes stay f32
+    and scores agree with the f32 path to bf16 resolution."""
+    l, net = _mk_yolo(scale_x_y=1.0)
+    x = rng.normal(size=(2, l.out_h, l.out_w, l.out_c)).astype(np.float32)
+    act = yoloops.yolo_activate(jnp.asarray(x), l)
+    b32, o32, c32 = yoloops.yolo_decode(act, l, net.w, net.h,
+                                        order="native")
+    b16, o16, c16 = yoloops.yolo_decode(act, l, net.w, net.h,
+                                        order="native",
+                                        score_dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.float32
+    assert o16.dtype == jnp.bfloat16 and c16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(b32), np.asarray(b16))
+    np.testing.assert_allclose(np.asarray(o16, dtype=np.float32),
+                               np.asarray(o32), rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c16, dtype=np.float32),
+                               np.asarray(c32), rtol=1e-2, atol=1e-3)
+    # planar layout: same coordinates as packed, split per coordinate
+    (px, py, pw, ph), op, cp = yoloops.yolo_decode(
+        act, l, net.w, net.h, order="native", layout="planar")
+    for k, v in enumerate((px, py, pw, ph)):
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(b32)[..., k])
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(o32))
+
+
 def test_gaussian_yolo_decode(rng):
     classes, mask = 2, (0, 1)
     n = len(mask)
