@@ -22,9 +22,14 @@ from darknet_tpu.train.step import make_train_step
 
 
 def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
-                       donate: bool = True):
-    """Jitted DP train step: params/opt replicated, batch sharded."""
-    inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False)
+                       donate: bool = True, accum: int = 1):
+    """Jitted DP train step: params/opt replicated, batch sharded.
+
+    accum>1 composes subdivision gradient accumulation (train/step.py)
+    with DP: each device scans its own micro-batches; the psum happens
+    once on the accumulated gradients."""
+    inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False,
+                            accum=accum)
 
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P(axis))

@@ -31,11 +31,21 @@ from darknet_tpu.train.yolo_loss import yolo_head_delta
 
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
-                    remat: bool = False):
+                    remat: bool = False, accum: int = 1):
     """Build `train_step(params, opt_state, x, truths, rng, lr)`.
 
     x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).
     Returns (params, opt_state, cost, metrics).
+
+    accum > 1 replays the reference's subdivision loop
+    (TrainNetwork, network.cpp:210-230: `subdiv` micro-batches of
+    `net.batch` images each, gradients accumulated into weight_updates,
+    ONE optimizer update at the end).  The micro-batches run under
+    lax.scan, so only one micro-batch's activations are live at a time —
+    this is what bounds training memory at 608² exactly like the
+    reference's batch/subdivisions split does.  B must be divisible by
+    accum.  BN batch statistics are per-micro-batch with sequential
+    rolling updates, matching the per-datum forward.
     """
     net = graph.net
     if use_adam is None:
@@ -48,7 +58,9 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
              if l.kind in ("yolo", "gaussian_yolo", "detection", "cost")]
     loss_scale = net.loss_scale
 
-    def step(params, opt_state, x, truths, rng, lr):
+    def grads_one_batch(params, x, truths, rng):
+        """Forward + head deltas + vjp for ONE micro-batch; returns
+        (grads, cost, metrics_list, bn_stats)."""
         def to_heads(p):
             r = fwd(p, x, rng)
             return r["raw_heads"], r["bn_stats"]
@@ -96,8 +108,58 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
         (grads,) = vjp_fn(deltas)
         if loss_scale != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
+        return grads, jnp.sum(jnp.stack(costs)), metrics_list, bn_stats
 
-        cost = jnp.sum(jnp.stack(costs))
+    def step(params, opt_state, x, truths, rng, lr):
+        if accum > 1:
+            b = x.shape[0]
+            assert b % accum == 0, (b, accum)
+            xm = x.reshape(accum, b // accum, *x.shape[1:])
+            tm = truths.reshape(accum, b // accum, *truths.shape[1:])
+            rngs = (jax.random.split(rng, accum) if rng is not None
+                    else jnp.zeros((accum, 2), jnp.uint32))
+
+            def body(acc, inp):
+                xb, tb, r = inp
+                g, c, mets, stats = grads_one_batch(
+                    params, xb, tb, r if rng is not None else None)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                flat = {f"{hi}/{k}": v for hi, m in enumerate(mets)
+                        for k, v in m.items()}
+                stats_flat = {i: s for i, s in stats.items()}
+                return acc, (c, flat, stats_flat)
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(jnp.shape(p), jnp.result_type(p)
+                                    if jnp.issubdtype(jnp.result_type(p),
+                                                      jnp.floating)
+                                    else jnp.float32), params)
+            grads, (costs_m, mets_m, stats_m) = jax.lax.scan(
+                body, zeros, (xm, tm, rngs))
+            cost = jnp.sum(costs_m)
+            # intensive metrics: mean over micro-batches; counts: sum
+            metrics_list = []
+            for hi in range(len(heads)):
+                m = {}
+                for k in [kk.split("/", 1)[1] for kk in mets_m
+                          if kk.startswith(f"{hi}/")]:
+                    v = mets_m[f"{hi}/{k}"]
+                    m[k] = jnp.sum(v) if k == "count" else jnp.mean(v)
+                metrics_list.append(m)
+            # BN rolling: sequential 0.9/0.1 per micro-batch =
+            # 0.9^n * old + 0.1 * sum_j 0.9^(n-1-j) * stats_j
+            wgt = 0.1 * (0.9 ** jnp.arange(accum - 1, -1, -1,
+                                           dtype=jnp.float32))
+            bn_stats = {
+                i: (0.9 ** accum, (jnp.tensordot(wgt, mv[0], axes=1),
+                                   jnp.tensordot(wgt, mv[1], axes=1)))
+                for i, mv in stats_m.items()}
+        else:
+            grads, cost, metrics_list, stats = grads_one_batch(
+                params, x, truths, rng)
+            bn_stats = {i: (0.9, (0.1 * mv[0], 0.1 * mv[1]))
+                        for i, mv in stats.items()}
+
         if use_adam:
             params, opt_state = opt.adam_update(
                 graph, params, grads, opt_state, lr=lr, B1=net.B1, B2=net.B2,
@@ -108,14 +170,15 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                 momentum=net.momentum, decay=net.decay,
                 batch=net.optimizer_batch)
 
-        # rolling BN statistics (0.9/0.1)
+        # rolling BN statistics (0.9/0.1 per micro-batch forward,
+        # batchnorm_layer.cpp:221-224) — pre-folded into (keep, contrib)
         new_params = []
         for i, p in enumerate(params):
             if i in bn_stats and "mean" in p:
-                mean, var = bn_stats[i]
+                keep, (mc, vc) = bn_stats[i]
                 p = dict(p)
-                p["mean"] = 0.9 * p["mean"] + 0.1 * mean
-                p["var"] = 0.9 * p["var"] + 0.1 * var
+                p["mean"] = keep * p["mean"] + mc
+                p["var"] = keep * p["var"] + vc
             new_params.append(p)
         params = new_params
 

@@ -120,15 +120,19 @@ class DetectorTrainer:
                     g = build_graph(cfg, train=True)
                     g.net.max_iter = self.net.max_iter
                     self._graph_cache[key] = g
+            # subdivisions: micro-batch gradient accumulation exactly like
+            # the reference's TrainNetwork subdiv loop (network.cpp:210-230)
+            # — also what bounds 608² training memory on one chip
+            accum = max(g.net.subdiv, 1)
             if self.mesh is not None:
                 from darknet_tpu.parallel import make_dp_train_step
 
                 step = make_dp_train_step(g, self.mesh,
                                           compute_dtype=self.compute_dtype,
-                                          donate=False)
+                                          donate=False, accum=accum)
             else:
                 step = make_train_step(g, compute_dtype=self.compute_dtype,
-                                       donate=False)
+                                       donate=False, accum=accum)
             self._step_cache[key] = step
         return self._step_cache[key]
 

@@ -341,3 +341,89 @@ def test_cost_layer_classifier_trains():
         costs.append(float(cost))
     assert np.isfinite(costs).all()
     assert costs[-1] < 0.5 * costs[0], costs
+
+
+NOBN_CFG = """[net]
+batch=2
+subdivisions=2
+width=32
+height=32
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0005
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=8,8, 16,16
+"""
+
+
+def test_accum_matches_single_batch_no_bn():
+    """Subdivision gradient accumulation (TrainNetwork's subdiv loop,
+    network.cpp:210-230): without BN the per-image computation is
+    independent, so accum=2 over a 4-image batch must reproduce the
+    accum=1 update exactly (up to f32 summation order)."""
+    g = build_graph(NOBN_CFG, train=True)
+    params = paramlib.init_params(g, seed=2)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((4, 90, 5), np.float32)
+    truths[:, 0] = [0.4, 0.4, 0.3, 0.3, 1]
+    truths[2, 0] = [0.7, 0.6, 0.2, 0.4, 2]
+
+    outs = {}
+    for accum in (1, 2, 4):
+        p = jax.tree_util.tree_map(jnp.asarray, params)
+        o = init_opt_state(g, p)
+        step = make_train_step(g, accum=accum, donate=False)
+        for it in range(3):
+            p, o, cost, m = step(p, o, jnp.asarray(x), jnp.asarray(truths),
+                                 None, jnp.float32(0.01))
+        outs[accum] = (p, float(cost), m)
+
+    p1, c1, m1 = outs[1]
+    for accum in (2, 4):
+        pa, ca, ma = outs[accum]
+        assert abs(ca - c1) < 1e-3 * max(abs(c1), 1.0), (ca, c1)
+        for pl1, pla in zip(p1, pa):
+            for k in pl1:
+                np.testing.assert_allclose(
+                    np.asarray(pla[k]), np.asarray(pl1[k]),
+                    rtol=2e-4, atol=2e-6,
+                    err_msg=f"accum={accum} key={k}")
+        assert float(ma["count"]) == float(m1["count"])
+
+
+def test_accum_with_bn_trains(setup):
+    """With BN the micro-batch statistics legitimately differ from the
+    full-batch ones (the reference normalizes per subdiv forward); the
+    accumulated step must still descend and update rolling stats."""
+    g, params = setup
+    p = jax.tree_util.tree_map(jnp.asarray, params)
+    o = init_opt_state(g, p)
+    step = make_train_step(g, accum=2, donate=False)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((4, 90, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.4, 0.4, 0]
+    mean0 = np.asarray(p[0]["mean"]).copy()
+    costs = []
+    for it in range(20):
+        p, o, cost, _m = step(p, o, jnp.asarray(x), jnp.asarray(truths),
+                              jax.random.PRNGKey(it), jnp.float32(0.005))
+        costs.append(float(cost))
+    assert np.isfinite(costs).all()
+    assert costs[-1] < costs[0], costs
+    assert np.any(np.asarray(p[0]["mean"]) != mean0)
