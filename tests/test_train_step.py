@@ -427,3 +427,57 @@ def test_accum_with_bn_trains(setup):
     assert np.isfinite(costs).all()
     assert costs[-1] < costs[0], costs
     assert np.any(np.asarray(p[0]["mean"]) != mean0)
+
+
+def test_trainer_honors_subdivisions(tmp_path):
+    """[net] subdivisions=2: the loader still delivers the full optimizer
+    batch per iteration and the step accumulates over 2 micro-batches
+    (TrainNetwork subdiv loop, network.cpp:210-230)."""
+    import cv2
+
+    ds = tmp_path / "ds2"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        img = rng.integers(0, 255, (48, 48, 3), np.uint8)
+        p = str(ds / f"s{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"s{i}.txt"), "w").write("0 0.5 0.5 0.5 0.5\n")
+        paths.append(p)
+
+    cfg = """[net]
+batch=4
+subdivisions=2
+width=48
+height=48
+channels=3
+learning_rate=0.001
+momentum=0.9
+max_epoch=50
+[convolutional]
+filters=8
+size=3
+stride=4
+pad=1
+activation=leaky
+[convolutional]
+filters=18
+size=1
+activation=linear
+[yolo]
+mask=0,1,2
+num=3
+classes=1
+anchors=20,20, 30,30, 40,40
+"""
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    tr = DetectorTrainer(cfg, paths, classes=1, loader_threads=1,
+                         save_dir=str(tmp_path / "bk2"), save_name="sd",
+                         log=lambda s: None)
+    assert tr.net.optimizer_batch == 4 and tr.net.subdiv == 2
+    x, y = tr.loader.next()
+    assert x.shape[0] == 4           # full optimizer batch per iter
+    tr.train(max_iters=3)
+    assert tr.seen == 12
