@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("-disable_tracking", "--disable_tracking",
                    action="store_true")
+    p.add_argument("-remat", "--remat", action="store_true",
+                   help="rematerialize conv blocks in backward "
+                        "(less memory, more FLOPs; for 608^2 training)")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
     p.add_argument("-num_chips", "--num_chips", "-num_gpus", "--num_gpus",
@@ -196,7 +199,7 @@ def mode_train(args):
         save_dir=md.backup_dir,
         save_name=os.path.splitext(os.path.basename(args.model_file))[0],
         metrics_path=args.metrics_file or None,
-        show_imgs=3 if args.show_imgs else 0)
+        show_imgs=3 if args.show_imgs else 0, remat=args.remat)
     trainer.train()
 
 

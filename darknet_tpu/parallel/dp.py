@@ -22,14 +22,15 @@ from darknet_tpu.train.step import make_train_step
 
 
 def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
-                       donate: bool = True, accum: int = 1):
+                       donate: bool = True, accum: int = 1,
+                       remat: bool = False):
     """Jitted DP train step: params/opt replicated, batch sharded.
 
     accum>1 composes subdivision gradient accumulation (train/step.py)
     with DP: each device scans its own micro-batches; the psum happens
     once on the accumulated gradients."""
     inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False,
-                            accum=accum)
+                            accum=accum, remat=remat)
 
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P(axis))

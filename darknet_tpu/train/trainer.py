@@ -43,12 +43,16 @@ class DetectorTrainer:
                  clear=False, mesh=None, compute_dtype=None, seed=0,
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, log=print,
-                 metrics_path=None, show_imgs=0):
+                 metrics_path=None, show_imgs=0, remat=False):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         self.cfg = cfg
         self.mesh = mesh
         self.compute_dtype = compute_dtype
+        # rematerialize conv blocks in the backward pass (jax.checkpoint):
+        # trades FLOPs for activation memory — the lever beyond
+        # [net] subdivisions for 608^2 training on one chip
+        self.remat = remat
         self.log = log
         self.save_dir = save_dir
         self.save_name = save_name
@@ -129,10 +133,12 @@ class DetectorTrainer:
 
                 step = make_dp_train_step(g, self.mesh,
                                           compute_dtype=self.compute_dtype,
-                                          donate=False, accum=accum)
+                                          donate=False, accum=accum,
+                                          remat=self.remat)
             else:
                 step = make_train_step(g, compute_dtype=self.compute_dtype,
-                                       donate=False, accum=accum)
+                                       donate=False, accum=accum,
+                                       remat=self.remat)
             self._step_cache[key] = step
         return self._step_cache[key]
 
