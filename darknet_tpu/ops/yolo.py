@@ -140,11 +140,15 @@ def gaussian_yolo_activate(x, l):
     return out.reshape(x.shape)
 
 
-def gaussian_yolo_decode(activated, l, net_w: int, net_h: int):
+def gaussian_yolo_decode(activated, l, net_w: int, net_h: int,
+                         order: str = "reference", score_dtype=None):
     """Decode with uncertainty: returns (boxes, obj, cls, uc) where
     `uc` is (B, N, 4) sigma values and cls is ALREADY scaled by
     ``(1 - uc_avg)`` per GetGaussianYoloDetections (the caller multiplies by
-    obj and thresholds)."""
+    obj and thresholds).
+
+    order / score_dtype as in yolo_decode: "native" skips the anchor-major
+    transposes; score_dtype casts obj/cls (boxes and uc stay f32)."""
     e = _G_ENTRIES + l.classes
     b, h, w, _ = activated.shape
     v = _split_entries(activated, l.n, e)
@@ -171,7 +175,13 @@ def gaussian_yolo_decode(activated, l, net_w: int, net_h: int):
     uc_avg = jnp.mean(uc, axis=-1, keepdims=True)
     cls = v[..., 9:] * (1.0 - uc_avg)
 
+    if score_dtype is not None:
+        obj = obj.astype(score_dtype)
+        cls = cls.astype(score_dtype)
     boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    if order == "native":
+        return (boxes.reshape(b, -1, 4), obj.reshape(b, -1),
+                cls.reshape(b, -1, l.classes), uc.reshape(b, -1, 4))
     boxes = jnp.transpose(boxes, (0, 3, 1, 2, 4)).reshape(b, -1, 4)
     obj = jnp.transpose(obj, (0, 3, 1, 2)).reshape(b, -1)
     cls = jnp.transpose(cls, (0, 3, 1, 2, 4)).reshape(b, -1, l.classes)

@@ -167,3 +167,41 @@ anchors=10,14,23,27
     uc_avg = np.mean(sigs)
     want_cls0 = sig(v[row, col, a, 9]) * (1 - uc_avg)
     np.testing.assert_allclose(float(cls[0, flat, 0]), want_cls0, rtol=1e-5)
+
+
+def test_gaussian_decode_native_order(rng):
+    """Native order is a pure permutation of the reference order with
+    identical value multisets; score_dtype casts obj/cls only."""
+    classes, mask = 2, (0, 1)
+    filters = len(mask) * (classes + 9)
+    text = f"""[net]
+width=32
+height=32
+channels=3
+[convolutional]
+filters={filters}
+size=1
+activation=linear
+[Gaussian_yolo]
+mask=0,1
+num=2
+classes={classes}
+anchors=10,14,23,27
+"""
+    g = build_graph(text)
+    l = g.layers[1]
+    x = rng.normal(size=(2, l.out_h, l.out_w, l.out_c)).astype(np.float32)
+    act = yoloops.gaussian_yolo_activate(jnp.asarray(x), l)
+    br, or_, cr, ur = yoloops.gaussian_yolo_decode(act, l, 32, 32)
+    bn, on, cn, un = yoloops.gaussian_yolo_decode(
+        act, l, 32, 32, order="native", score_dtype=jnp.bfloat16)
+    assert on.dtype == jnp.bfloat16 and cn.dtype == jnp.bfloat16
+    assert bn.dtype == jnp.float32 and un.dtype == jnp.float32
+    # same multiset of objectness values (order differs)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(on, dtype=np.float32).ravel()),
+        np.sort(np.asarray(or_).ravel()), rtol=1e-2, atol=1e-3)
+    # boxes: native row = some reference row (sorted rows equal)
+    sr = np.sort(np.asarray(br).reshape(-1, 4), axis=0)
+    sn = np.sort(np.asarray(bn).reshape(-1, 4), axis=0)
+    np.testing.assert_allclose(sn, sr, rtol=1e-6, atol=1e-7)
