@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(less memory, more FLOPs; for 608^2 training)")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
+    p.add_argument("-dbg_sync", "--dbg_sync", "-cuda_dbg_sync",
+                   "--cuda_dbg_sync", type=int, default=0, dest="dbg_sync",
+                   help="synchronous op dispatch + NaN fail-fast "
+                        "(the cuda_dbg_sync analogue, utils/debug.py)")
     p.add_argument("-num_chips", "--num_chips", "-num_gpus", "--num_gpus",
                    type=int, default=1, dest="num_chips")
     p.add_argument("-geo_info_file", "--geo_info_file", default="")
@@ -392,6 +396,17 @@ def main(argv=None):
 
     enable_persistent_cache()
     args = build_parser().parse_args(argv)
+    if args.dbg_sync:
+        # -cuda_dbg_sync analogue (dark_cuda.h:9): synchronous dispatch +
+        # NaN fail-fast so failures surface at the faulting op
+        import contextlib
+
+        from darknet_tpu.utils import debug as dbg
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(dbg.debug_sync_mode())
+        if args.dbg_sync >= 2:
+            stack.enter_context(dbg.debug_nans())
     if args.mode == "train":
         mode_train(args)
     elif args.mode == "valid":
