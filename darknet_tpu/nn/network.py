@@ -165,11 +165,15 @@ class Network:
                 boxes_l, obj_l, cls_l = [], [], []
                 for t, l in zip(r["heads"], heads):
                     t = t.astype(jnp.float32)
+                    # native order: candidate ordering is immaterial ahead
+                    # of top-k, and reference order costs ~100MB of
+                    # transposes per 608² batch
                     if l.kind == "yolo":
-                        b, o, c = yoloops.yolo_decode(t, l, net_w, net_h)
+                        b, o, c = yoloops.yolo_decode(t, l, net_w, net_h,
+                                                      order="native")
                     else:
                         b, o, c, _u = yoloops.gaussian_yolo_decode(
-                            t, l, net_w, net_h)
+                            t, l, net_w, net_h, order="native")
                     boxes_l.append(b)
                     obj_l.append(o)
                     cls_l.append(c)
