@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(less memory, more FLOPs; for 608^2 training)")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
+    p.add_argument("-int8", "--int8", action="store_true",
+                   help="quantized inference (int8 convs, the XNOR-path "
+                        "analogue); dynamic activation scales unless "
+                        "-int8_calib")
+    p.add_argument("-int8_calib", "--int8_calib", type=int, default=0,
+                   help="valid mode: calibrate static activation scales "
+                        "on the first N val images")
     p.add_argument("-dbg_sync", "--dbg_sync", "-cuda_dbg_sync",
                    "--cuda_dbg_sync", type=int, default=0, dest="dbg_sync",
                    help="synchronous op dispatch + NaN fail-fast "
@@ -74,7 +81,8 @@ def _load_network(args, train=False):
 
     weights = args.weights_file if os.path.exists(args.weights_file) else None
     return Network.from_cfg(args.model_file, weights=weights, train=train,
-                            clear=args.clear)
+                            clear=args.clear,
+                            int8=getattr(args, "int8", False) and not train)
 
 
 def _proc_frame(net, md, frame_bgr, args, track_manager=None,
@@ -219,6 +227,16 @@ def mode_valid(args):
                          compute_dtype=net.compute_dtype,
                          fused_bn=net.fused)
     paths = md.load_paths("valid")
+    if args.int8 and args.int8_calib:
+        # static activation scales from the first N real val images
+        # (TensorRT-style calibration set)
+        from darknet_tpu.data.image import (load_image_rgb,
+                                            resize_image_darknet)
+
+        calib = [resize_image_darknet(load_image_rgb(p),
+                                      net.net.w, net.net.h)
+                 for p in paths[:args.int8_calib]]
+        net.calibrate_int8(calib)
     # the reference's valid mode resizes with its own two-pass bilinear
     # (load_image + resize_image, data.cpp:695-698) — use the exact port
     # so CLI mAP numbers are comparable with the reference binary's

@@ -127,8 +127,9 @@ class Network:
         float arrays, network-sized) and bake per-tensor scales so serving
         skips the per-conv dynamic absmax reduce
         (ops/conv.conv_block_int8)."""
-        assert any("w_q" in p for p in self.params), \
-            "calibrate_int8 requires int8=True at load"
+        if not any("w_q" in p for p in self.params):
+            # nothing quantized (int8=False, or no eligible convs) — no-op
+            return
         batches = []
         for im in images:
             a = np.asarray(im, dtype=np.float32)

@@ -171,3 +171,11 @@ anchors=8,8, 12,12, 16,16
           "-model_file", str(cfg), "-weights_file", "/nonexistent"])
     out = capsys.readouterr().out
     assert "mAP@0.5" in out and "Prediction per second" in out
+    # int8 serving flags: dynamic and static-calibrated paths both run
+    # (this cfg has no >=128ch convs, so calibration is a graceful no-op;
+    # the flag plumbing itself is what's under test)
+    main(["-mode", "valid", "-data_file", str(data),
+          "-model_file", str(cfg), "-weights_file", "/nonexistent",
+          "-int8", "-int8_calib", "2"])
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out
