@@ -141,10 +141,10 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             metrics_list = []
             for hi in range(len(heads)):
                 m = {}
-                for k in [kk.split("/", 1)[1] for kk in mets_m
-                          if kk.startswith(f"{hi}/")]:
-                    v = mets_m[f"{hi}/{k}"]
-                    m[k] = jnp.sum(v) if k == "count" else jnp.mean(v)
+                for kk, v in mets_m.items():
+                    pre, k = kk.split("/", 1)
+                    if pre == str(hi):
+                        m[k] = jnp.sum(v) if k == "count" else jnp.mean(v)
                 metrics_list.append(m)
             # BN rolling: sequential 0.9/0.1 per micro-batch =
             # 0.9^n * old + 0.1 * sum_j 0.9^(n-1-j) * stats_j
