@@ -119,18 +119,33 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
         sim = boxops.diou(boxes[:, None, :], boxes[None, :, :], beta)
     suppress = sim > thresh
 
+    # greedy kept[i] = active[i] & no surviving j<i with sim>thresh.
+    # Dependencies run strictly down ranks (a DAG), so instead of a serial
+    # N-step loop (pathological on TPU: N scatter steps), squeeze the
+    # exact greedy fixpoint between monotone bounds: Lo ⊆ kept ⊆ Hi,
+    # Lo' = f(Hi), Hi' = f(Lo) where f(K)[i] = active[i] & !∃j<i:K[j]&sim.
+    # Each update is one vectorized (N,N) masked reduction; ranks with
+    # suppression-chain depth <= t are decided after t iterations, so the
+    # loop converges in the chain depth (typically < 5, bounded by N).
+    lt = jnp.tril(jnp.ones((n, n), dtype=bool), -1)  # [i, j]: j < i
+
     def one_class(p):
         order = jnp.argsort(-p)                      # descending
-        s_sorted = suppress[order][:, order]         # (N,N) in rank order
+        s_rank = suppress[order][:, order] & lt      # suppressor cols j<i
         active = p[order] > 0.0
 
-        def body(i, kept):
-            # kept: bool (N,) — ranks < i already decided
-            hit = jnp.any(kept & s_sorted[i] & (jnp.arange(n) < i))
-            keep_i = active[i] & jnp.logical_not(hit)
-            return kept.at[i].set(keep_i)
+        def cond(st):
+            lo, hi = st
+            return jnp.any(lo != hi)
 
-        kept = lax.fori_loop(0, n, body, jnp.zeros(n, dtype=bool))
+        def body(st):
+            lo, hi = st
+            lo2 = active & ~jnp.any(s_rank & hi[None, :], axis=1)
+            hi2 = active & ~jnp.any(s_rank & lo[None, :], axis=1)
+            return lo | lo2, hi & hi2
+
+        kept, _ = lax.while_loop(
+            cond, body, (jnp.zeros(n, dtype=bool), active))
         p_sorted = jnp.where(kept, p[order], 0.0)
         inv = jnp.argsort(order)
         return p_sorted[inv]

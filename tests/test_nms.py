@@ -73,3 +73,36 @@ def test_diou_nms_beta():
     # less aggressive for displaced boxes
     assert greedy[1, 0] == 0.0
     assert diou[1, 0] == 0.8
+
+
+def test_device_nms_deep_suppression_chain():
+    """Worst case for the fixpoint NMS: a ladder of boxes where each
+    overlaps only its neighbors — alternating keep/suppress, maximum
+    dependency chain depth.  Must still equal the serial greedy result."""
+    n = 48
+    xs = 0.1 + 0.015 * np.arange(n)           # neighbors overlap > 0.45 IoU
+    boxes = np.stack([xs, np.full(n, 0.5), np.full(n, 0.1),
+                      np.full(n, 0.1)], axis=1).astype(np.float32)
+    probs = np.linspace(0.9, 0.1, n).astype(np.float32)[:, None]
+    want = nmslib.nms_numpy(boxes, probs, 0.45)
+    got = np.asarray(nmslib.nms_device(jnp.asarray(boxes),
+                                       jnp.asarray(probs), 0.45))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+    # the ladder alternates: every other box survives
+    assert (want[:, 0] > 0).sum() >= n // 3
+
+
+def test_device_nms_reverse_rank_chain():
+    """Chain where ranks ascend against position (suppressors appear
+    later in array order) — exercises the argsort reordering."""
+    rng2 = np.random.default_rng(11)
+    n = 40
+    xs = 0.1 + 0.016 * np.arange(n)
+    boxes = np.stack([xs, np.full(n, 0.5), np.full(n, 0.1),
+                      np.full(n, 0.1)], axis=1).astype(np.float32)
+    probs = np.linspace(0.1, 0.9, n).astype(np.float32)[:, None]  # ascending
+    perm = rng2.permutation(n)
+    want = nmslib.nms_numpy(boxes[perm], probs[perm], 0.45)
+    got = np.asarray(nmslib.nms_device(jnp.asarray(boxes[perm]),
+                                       jnp.asarray(probs[perm]), 0.45))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
