@@ -11,9 +11,10 @@ Baseline (BASELINE.md): the target is >=2x A100-TensorRT throughput for
 yolov4-608.  Public TensorRT numbers for yolov4-608 FP16 on A100 cluster
 around ~400 img/s, so vs_baseline is reported against 800 img/s.
 
-The measured path is the full inference program: NHWC forward (bf16 MXU
+The measured path is the full serving program: NHWC forward (bf16 MXU
 compute, f32 accumulation), fused BN, on-device YOLO box decode for all
-three heads.  Only decoded boxes/scores leave the device.
+three heads, objectness top-k, and exact greedy NMS.  Only the top-k
+final candidates per image ever leave the device.
 """
 
 import json
@@ -68,23 +69,43 @@ def main():
     fwd = make_forward(graph, compute_dtype=jnp.bfloat16, fused_bn=True)
     heads = graph.heads()
 
+    from darknet_tpu.ops import nms as nmslib
+
+    kind = heads[0].nms_kind
+    beta = heads[0].beta_nms
+    top_k = 256
+
     @jax.jit
     def run(params, x):
+        # the FULL serving pipeline: forward -> decode -> objectness
+        # threshold -> top-k -> exact greedy NMS, all on device; only the
+        # top_k candidates per image ever leave HBM (the reference pulls
+        # every head tensor to the host and NMS-es there,
+        # detector.cpp:384-387)
         r = fwd(params, x)
         outs = []
         for t, l in zip(r["heads"], heads):
-            boxes, obj, cls = yoloops.yolo_decode(t, l, size, size,
-                                                  order="native",
-                                                  score_dtype=jnp.bfloat16)
+            boxes, obj, cls = yoloops.yolo_decode(t.astype(jnp.float32), l,
+                                                  size, size,
+                                                  order="native")
             outs.append((boxes, obj, cls))
         boxes = jnp.concatenate([o[0] for o in outs], axis=1)
         obj = jnp.concatenate([o[1] for o in outs], axis=1)
         cls = jnp.concatenate([o[2] for o in outs], axis=1)
+        obj = jnp.where(obj > 0.25, obj, 0.0)
+        ov, idx = jax.lax.top_k(obj, top_k)
+        tb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+        tc = jnp.take_along_axis(cls, idx[..., None], axis=1)
+        probs = ov[..., None] * tc
+        probs = jnp.where(probs > 0.25, probs, 0.0)
+        probs = jax.vmap(lambda b, p: nmslib.nms_device(b, p, 0.45,
+                                                        kind=kind,
+                                                        beta=beta))(tb, probs)
         # scalar checksum: timing fetches ONE f32, forcing execution without
         # paying a bulk device->host readback (block_until_ready does not
         # actually block over the axon tunnel)
-        chk = jnp.sum(obj.astype(jnp.float32)) + jnp.sum(boxes[..., 0])
-        return boxes, obj, cls, chk
+        chk = jnp.sum(ov) + jnp.sum(tb[..., 0])
+        return tb, ov, probs, chk
 
     x = np.random.default_rng(0).uniform(
         0, 1, (batch, size, size, 3)).astype(np.float32)
@@ -126,7 +147,7 @@ def main():
     print(json.dumps({
         "metric": "yolov4-608 images/sec/chip "
                   + ("(int8" if int8 else "(bf16")
-                  + " inference, on-device decode)",
+                  + " serving: on-device decode+top-k+NMS)",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),

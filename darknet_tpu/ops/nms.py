@@ -119,35 +119,37 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
         sim = boxops.diou(boxes[:, None, :], boxes[None, :, :], beta)
     suppress = sim > thresh
 
-    # greedy kept[i] = active[i] & no surviving j<i with sim>thresh.
-    # Dependencies run strictly down ranks (a DAG), so instead of a serial
-    # N-step loop (pathological on TPU: N scatter steps), squeeze the
-    # exact greedy fixpoint between monotone bounds: Lo ⊆ kept ⊆ Hi,
-    # Lo' = f(Hi), Hi' = f(Lo) where f(K)[i] = active[i] & !∃j<i:K[j]&sim.
-    # Each update is one vectorized (N,N) masked reduction; ranks with
-    # suppression-chain depth <= t are decided after t iterations, so the
-    # loop converges in the chain depth (typically < 5, bounded by N).
+    # greedy kept[i] = active[i] & no surviving higher-ranked j with
+    # sim>thresh.  Two TPU adaptations of the serial greedy loop:
+    #
+    # 1. No argsort/gather: rank_j < rank_i (stable descending sort) is
+    #    exactly (p_j > p_i) | (p_j == p_i & j < i), built as dense
+    #    (C,N,N) broadcasts against the SHARED similarity matrix — the
+    #    per-class [order][:, order] gather was the dominant cost.
+    # 2. No serial rank loop (N scatter steps execute pathologically on
+    #    this backend): dependencies run strictly down ranks (a DAG), so
+    #    the exact kept-set is squeezed between monotone bounds
+    #    Lo' = f(Hi), Hi' = f(Lo) with f(K)[i] = active[i] & !∃j: K[j] &
+    #    P[i,j].  Ranks with suppression-chain depth <= t are decided
+    #    after t iterations; the loop converges in the chain depth
+    #    (typically < 5, bounded by N).
+    pT = probs.T                                     # (C, N)
     lt = jnp.tril(jnp.ones((n, n), dtype=bool), -1)  # [i, j]: j < i
+    gt = pT[:, None, :] > pT[:, :, None]             # [c,i,j]: p_j > p_i
+    eq = (pT[:, None, :] == pT[:, :, None]) & lt[None]
+    P = (gt | eq) & suppress[None]                   # suppressor j over i
+    active = pT > 0.0
 
-    def one_class(p):
-        order = jnp.argsort(-p)                      # descending
-        s_rank = suppress[order][:, order] & lt      # suppressor cols j<i
-        active = p[order] > 0.0
+    def cond(st):
+        lo, hi = st
+        return jnp.any(lo != hi)
 
-        def cond(st):
-            lo, hi = st
-            return jnp.any(lo != hi)
+    def body(st):
+        lo, hi = st
+        lo2 = active & ~jnp.any(P & hi[:, None, :], axis=-1)
+        hi2 = active & ~jnp.any(P & lo[:, None, :], axis=-1)
+        return lo | lo2, hi & hi2
 
-        def body(st):
-            lo, hi = st
-            lo2 = active & ~jnp.any(s_rank & hi[None, :], axis=1)
-            hi2 = active & ~jnp.any(s_rank & lo[None, :], axis=1)
-            return lo | lo2, hi & hi2
-
-        kept, _ = lax.while_loop(
-            cond, body, (jnp.zeros(n, dtype=bool), active))
-        p_sorted = jnp.where(kept, p[order], 0.0)
-        inv = jnp.argsort(order)
-        return p_sorted[inv]
-
-    return jax.vmap(one_class, in_axes=1, out_axes=1)(probs)
+    kept, _ = lax.while_loop(
+        cond, body, (jnp.zeros_like(active), active))
+    return jnp.where(kept.T, probs, 0.0)
