@@ -167,7 +167,14 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             if i in region_runners:
                 plan = region_plans[i]
                 if train:
-                    cur, r_stats = region_runners[i](params, cur)
+                    runner = region_runners[i]
+                    if remat:
+                        # the region spans the largest feature maps
+                        # (304²/152²) — its intermediates dominate training
+                        # memory; recompute them in the backward pass like
+                        # the per-conv checkpoint below
+                        runner = jax.checkpoint(runner)
+                    cur, r_stats = runner(params, cur)
                     bn_stats.update(r_stats)
                 else:
                     cur = region_runners[i](params, cur)

@@ -382,3 +382,33 @@ def test_train_step_with_regions_matches():
     np.testing.assert_allclose(costs["unfused"], costs["regions"],
                                rtol=5e-3)
     assert costs["regions"][-1] < costs["regions"][0]
+
+
+def test_train_region_remat_matches():
+    """remat=True wraps the region runner in jax.checkpoint — gradients
+    must be identical to the non-remat region path (recompute changes
+    memory, not math)."""
+    import jax
+
+    g = build_graph(TRAIN_CSP_CFG, train=True)
+    params = paramlib.init_params(g, seed=5)
+    x = np.random.default_rng(2).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    f_a = make_forward(g, train=True, fuse_regions="xla")
+    f_b = make_forward(g, train=True, fuse_regions="xla", remat=True)
+
+    def loss(f):
+        def go(p):
+            r = f(p, x)
+            return jnp.sum(jnp.square(r["raw_heads"][0]))
+        return go
+
+    v1, g1 = jax.value_and_grad(loss(f_a))(params)
+    v2, g2 = jax.value_and_grad(loss(f_b))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for pa, pb in zip(g1, g2):
+        for key in pa:
+            np.testing.assert_allclose(np.asarray(pa[key]),
+                                       np.asarray(pb[key]),
+                                       rtol=1e-5, atol=1e-6, err_msg=key)
