@@ -64,7 +64,8 @@ def local_block(x, p, l):
 
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fused_bn: bool = False, stem_s2d: bool | None = None,
-                 pack_first_region: bool = False, remat: bool = False,
+                 pack_first_region: bool = False,
+                 remat: bool | str = False,
                  fuse_regions: bool | None = None,
                  region_interpret: bool = False,
                  probe_conv_absmax: bool = False):
@@ -168,11 +169,12 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 plan = region_plans[i]
                 if train:
                     runner = region_runners[i]
-                    if remat:
-                        # the region spans the largest feature maps
-                        # (304²/152²) — its intermediates dominate training
-                        # memory; recompute them in the backward pass like
-                        # the per-conv checkpoint below
+                    if remat == "all":
+                        # remat="all" also recomputes the region (the
+                        # largest feature maps, 304²/152²) in the backward
+                        # pass.  Measured on yolov4-608 b8: saves memory
+                        # but costs ~8% step time vs conv-only remat, so
+                        # it is a separate opt-in level.
                         runner = jax.checkpoint(runner)
                     cur, r_stats = runner(params, cur)
                     bn_stats.update(r_stats)

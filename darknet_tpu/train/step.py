@@ -31,7 +31,7 @@ from darknet_tpu.train.yolo_loss import yolo_head_delta
 
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
-                    remat: bool = False, accum: int = 1):
+                    remat: bool | str = False, accum: int = 1):
     """Build `train_step(params, opt_state, x, truths, rng, lr)`.
 
     x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).

@@ -396,7 +396,7 @@ def test_train_region_remat_matches():
         0, 1, (2, 64, 64, 3)).astype(np.float32)
 
     f_a = make_forward(g, train=True, fuse_regions="xla")
-    f_b = make_forward(g, train=True, fuse_regions="xla", remat=True)
+    f_b = make_forward(g, train=True, fuse_regions="xla", remat="all")
 
     def loss(f):
         def go(p):
