@@ -37,8 +37,7 @@ def main():
     from darknet_tpu import model_zoo
     from darknet_tpu.graph.builder import build_graph
     from darknet_tpu.nn import params as paramlib
-    from darknet_tpu.nn.emit import make_forward
-    from darknet_tpu.ops import yolo as yoloops
+    from darknet_tpu.nn.network import Network
 
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     # headline config = production low-precision serving (int8 weights +
@@ -63,48 +62,25 @@ def main():
             0, 1, (4, 320, 320, 3)).astype(np.float32)
         absmax = paramlib.calibrate_conv_input_scales(
             gcal, params, [xcal], compute_dtype=jnp.bfloat16)
-        params = paramlib.apply_conv_input_scales(params, absmax)
+        params = paramlib.apply_conv_input_scales(params, absmax, graph=graph)
     params = jax.device_put(params)
 
-    fwd = make_forward(graph, compute_dtype=jnp.bfloat16, fused_bn=True)
-    heads = graph.heads()
-
-    from darknet_tpu.ops import nms as nmslib
-
-    kind = heads[0].nms_kind
-    beta = heads[0].beta_nms
-    top_k = 256
+    # the measured program IS the production serving path: the Network
+    # facade's fully-on-device postprocess (forward -> decode -> obj
+    # threshold -> top-k -> exact greedy NMS; only top_k candidates per
+    # image leave HBM — the reference pulls every head tensor to the host
+    # and NMS-es there, detector.cpp:384-387), with bf16 serving scores
+    net = Network(graph, params, fused=True, compute_dtype=jnp.bfloat16)
+    detect = net._device_detect_fn(batch, size, size, 0.25, 0.45, 256,
+                                   score_dtype=jnp.bfloat16)
 
     @jax.jit
     def run(params, x):
-        # the FULL serving pipeline: forward -> decode -> objectness
-        # threshold -> top-k -> exact greedy NMS, all on device; only the
-        # top_k candidates per image ever leave HBM (the reference pulls
-        # every head tensor to the host and NMS-es there,
-        # detector.cpp:384-387)
-        r = fwd(params, x)
-        outs = []
-        for t, l in zip(r["heads"], heads):
-            boxes, obj, cls = yoloops.yolo_decode(t.astype(jnp.float32), l,
-                                                  size, size,
-                                                  order="native")
-            outs.append((boxes, obj, cls))
-        boxes = jnp.concatenate([o[0] for o in outs], axis=1)
-        obj = jnp.concatenate([o[1] for o in outs], axis=1)
-        cls = jnp.concatenate([o[2] for o in outs], axis=1)
-        obj = jnp.where(obj > 0.25, obj, 0.0)
-        ov, idx = jax.lax.top_k(obj, top_k)
-        tb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
-        tc = jnp.take_along_axis(cls, idx[..., None], axis=1)
-        probs = ov[..., None] * tc
-        probs = jnp.where(probs > 0.25, probs, 0.0)
-        probs = jax.vmap(lambda b, p: nmslib.nms_device(b, p, 0.45,
-                                                        kind=kind,
-                                                        beta=beta))(tb, probs)
+        tb, ov, probs = detect(params, x)
         # scalar checksum: timing fetches ONE f32, forcing execution without
         # paying a bulk device->host readback (block_until_ready does not
         # actually block over the axon tunnel)
-        chk = jnp.sum(ov) + jnp.sum(tb[..., 0])
+        chk = jnp.sum(ov.astype(jnp.float32)) + jnp.sum(tb[..., 0])
         return tb, ov, probs, chk
 
     x = np.random.default_rng(0).uniform(

@@ -137,7 +137,8 @@ class Network:
         absmax = paramlib.calibrate_conv_input_scales(
             self.graph, self.params, batches,
             compute_dtype=self.compute_dtype)
-        self.params = paramlib.apply_conv_input_scales(self.params, absmax)
+        self.params = paramlib.apply_conv_input_scales(self.params, absmax,
+                                                       graph=self.graph)
         self._fwd_cache.clear()
 
     @property
@@ -146,11 +147,16 @@ class Network:
 
     # ------------------------------------------------------------- forward
     def _device_detect_fn(self, batch: int, h: int, w: int, thresh: float,
-                          nms: float, top_k: int):
+                          nms: float, top_k: int, score_dtype=None):
         """Fully on-device postprocess: decode -> obj threshold -> top-k ->
         masked NMS.  Only (top_k) detections per image leave HBM — the
-        design goal of BASELINE.json's north star."""
-        key = ("dev", batch, h, w, thresh, nms, top_k)
+        design goal of BASELINE.json's north star.
+
+        score_dtype (e.g. bf16) selects the serving score precision for
+        decode outputs (ops/yolo.yolo_decode); default f32 keeps
+        bit-parity with the host path.  bench.py measures this exact
+        function."""
+        key = ("dev", batch, h, w, thresh, nms, top_k, score_dtype)
         if key not in self._fwd_cache:
             fwd = make_forward(self.graph, train=False,
                                compute_dtype=self.compute_dtype,
@@ -170,11 +176,13 @@ class Network:
                     # of top-k, and reference order costs ~100MB of
                     # transposes per 608² batch
                     if l.kind == "yolo":
-                        b, o, c = yoloops.yolo_decode(t, l, net_w, net_h,
-                                                      order="native")
+                        b, o, c = yoloops.yolo_decode(
+                            t, l, net_w, net_h, order="native",
+                            score_dtype=score_dtype)
                     else:
                         b, o, c, _u = yoloops.gaussian_yolo_decode(
-                            t, l, net_w, net_h, order="native")
+                            t, l, net_w, net_h, order="native",
+                            score_dtype=score_dtype)
                     boxes_l.append(b)
                     obj_l.append(o)
                     cls_l.append(c)

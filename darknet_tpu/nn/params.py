@@ -154,9 +154,24 @@ def calibrate_conv_input_scales(graph, params: list, batches, *,
     return agg
 
 
-def apply_conv_input_scales(params: list, absmax: dict) -> list:
+def apply_conv_input_scales(params: list, absmax: dict,
+                            graph=None) -> list:
     """Attach static activation scales: p["x_scale"] = absmax/127 on every
-    quantized conv (one with "w_q") whose index has a calibration entry."""
+    quantized conv (one with "w_q") whose index has a calibration entry.
+
+    Pass `graph` when the net uses share_index weight sharing: a sharing
+    call site reads the SOURCE layer's param dict (nn/emit.py), so its
+    input range must be folded into the source's scale (max over all call
+    sites — conservative, no saturation at any site)."""
+    absmax = dict(absmax)
+    if graph is not None:
+        for l in graph.layers:
+            if (getattr(l, "kind", None) == "convolutional"
+                    and getattr(l, "share_index", None) is not None
+                    and l.index in absmax):
+                src = l.share_index
+                absmax[src] = max(absmax.get(src, 0.0),
+                                  float(absmax[l.index]))
     out = []
     for i, p in enumerate(params):
         if "w_q" in p and i in absmax:

@@ -6,9 +6,12 @@ lower-ranked detection whose IoU (greedy) or DIoU (diounms, beta) with a
 surviving one exceeds `thresh`.  Boxes themselves are never removed — only
 class probs are zeroed; a detection dies when all its probs are zero.
 
-The device variant keeps the same semantics with a fixed box budget: scores
-sort per class (shared IoU matrix — boxes are class-independent), then a
-`fori_loop` computes the keep mask; only final detections leave HBM.
+The device variant keeps the same semantics with a fixed box budget but no
+sort and no serial rank loop: the stable descending rank order is encoded
+as a dense suppressor predicate (p_j > p_i) | (p_j == p_i & j < i) over the
+shared similarity matrix, and the exact greedy kept-set is obtained by an
+interval fixpoint (lo/hi bounds under a while_loop) that converges in the
+suppression-chain depth.  Only final detections leave HBM.
 """
 
 from __future__ import annotations

@@ -110,12 +110,24 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         return grads, jnp.sum(jnp.stack(costs)), metrics_list, bn_stats
 
+    # per-GT-averaged head metrics: re-weight by each micro-batch's match
+    # count so the aggregate equals the single-batch ratio-of-sums
+    _COUNT_WEIGHTED = frozenset(
+        {"avg_iou", "avg_obj", "avg_cat", "recall50", "recall75"})
+
     def step(params, opt_state, x, truths, rng, lr):
         if accum > 1:
             b = x.shape[0]
             assert b % accum == 0, (b, accum)
-            xm = x.reshape(accum, b // accum, *x.shape[1:])
-            tm = truths.reshape(accum, b // accum, *truths.shape[1:])
+            # interleaved (strided) micro-batch assignment: under a dp-
+            # sharded batch dim, contiguous slices would put each scan
+            # step's data on a single device subset; reshape+swap gives
+            # every micro-batch an equal LOCAL slice of every dp shard.
+            # (Which images share a micro-batch is arbitrary — the loader
+            # order is random — it only recomposes the per-micro BN stats.)
+            xm = x.reshape(b // accum, accum, *x.shape[1:]).swapaxes(0, 1)
+            tm = truths.reshape(b // accum, accum,
+                                *truths.shape[1:]).swapaxes(0, 1)
             rngs = (jax.random.split(rng, accum) if rng is not None
                     else jnp.zeros((accum, 2), jnp.uint32))
 
@@ -124,10 +136,7 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                 g, c, mets, stats = grads_one_batch(
                     params, xb, tb, r if rng is not None else None)
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
-                flat = {f"{hi}/{k}": v for hi, m in enumerate(mets)
-                        for k, v in m.items()}
-                stats_flat = {i: s for i, s in stats.items()}
-                return acc, (c, flat, stats_flat)
+                return acc, (c, mets, dict(stats))
 
             zeros = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(jnp.shape(p), jnp.result_type(p)
@@ -137,14 +146,18 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             grads, (costs_m, mets_m, stats_m) = jax.lax.scan(
                 body, zeros, (xm, tm, rngs))
             cost = jnp.sum(costs_m)
-            # intensive metrics: mean over micro-batches; counts: sum
             metrics_list = []
-            for hi in range(len(heads)):
+            for m_stk in mets_m:           # list of dicts, leaves (accum,)
+                cnt = m_stk.get("count")
                 m = {}
-                for kk, v in mets_m.items():
-                    pre, k = kk.split("/", 1)
-                    if pre == str(hi):
-                        m[k] = jnp.sum(v) if k == "count" else jnp.mean(v)
+                for k, v in m_stk.items():
+                    if k == "count":
+                        m[k] = jnp.sum(v)
+                    elif k in _COUNT_WEIGHTED and cnt is not None:
+                        m[k] = jnp.sum(v * cnt) / jnp.maximum(
+                            jnp.sum(cnt), 1.0)
+                    else:
+                        m[k] = jnp.mean(v)
                 metrics_list.append(m)
             # BN rolling: sequential 0.9/0.1 per micro-batch =
             # 0.9^n * old + 0.1 * sum_j 0.9^(n-1-j) * stats_j

@@ -243,3 +243,53 @@ def test_int8_network_facade(tmp_path, setup):
     dets2 = net.detect(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32),
                        thresh=0.01)
     assert isinstance(dets2, list)
+
+
+def test_calibration_share_index_folds_site_ranges():
+    """A share_index conv reads the SOURCE layer's params (emit.py), so
+    static calibration must fold every call site's input range into the
+    source's x_scale (max — no saturation at any site)."""
+    cfg = """[net]
+batch=1
+subdivisions=1
+width=16
+height=16
+channels=3
+[convolutional]
+filters=128
+size=1
+activation=linear
+[convolutional]
+filters=128
+size=1
+activation=linear
+[convolutional]
+filters=128
+size=1
+share_index=-1
+activation=linear
+[convolutional]
+filters=6
+size=1
+activation=linear
+[yolo]
+mask=0
+num=1
+classes=1
+anchors=16,16
+"""
+    g = build_graph(cfg)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=7))
+    qp = paramlib.quantize_conv_params(g, params)
+    assert "w_q" in qp[1] and "w_q" not in qp[2]     # site shares, no own w
+    x = np.random.default_rng(0).uniform(0, 1, (1, 16, 16, 3)).astype(
+        np.float32)
+    absmax = paramlib.calibrate_conv_input_scales(g, qp, [x])
+    assert 1 in absmax and 2 in absmax
+    sp = paramlib.apply_conv_input_scales(qp, absmax, graph=g)
+    want = max(absmax[1], absmax[2]) / 127.0
+    assert float(sp[1]["x_scale"]) == pytest.approx(want, rel=1e-6)
+    # without the graph, the source only sees its own site's range
+    sp_no = paramlib.apply_conv_input_scales(qp, absmax)
+    assert float(sp_no[1]["x_scale"]) == pytest.approx(
+        absmax[1] / 127.0, rel=1e-6)
