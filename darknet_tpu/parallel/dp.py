@@ -27,8 +27,9 @@ def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
     """Jitted DP train step: params/opt replicated, batch sharded.
 
     accum>1 composes subdivision gradient accumulation (train/step.py)
-    with DP: each device scans its own micro-batches; the psum happens
-    once on the accumulated gradients."""
+    with DP: micro-batches are interleaved across the batch dim, so each
+    scan step processes an equal local slice on every dp shard; the
+    gradient all-reduce happens once, on the accumulated gradients."""
     inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False,
                             accum=accum, remat=remat)
 
