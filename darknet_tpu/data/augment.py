@@ -304,4 +304,4 @@ def load_detection_sample(path, w, h, boxes, classes, *, jitter=0.3,
         img, w, h, pleft, ptop, swidth, sheight, flip, dhue, dsat, dexp,
         noise, blur, truth)
     return img_aug, truth, dict(pleft=pleft, pright=pright, ptop=ptop,
-                                pbot=pbot, flip=flip)
+                                pbot=pbot, flip=flip, ow=ow, oh=oh)

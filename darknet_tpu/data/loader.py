@@ -127,12 +127,16 @@ class DetectionLoader:
                     if meta.get("flip"):
                         pleft, pright = pright, pleft
                     # the reference shifts crop windows by the out-of-image
-                    # padding (data.cpp:577-586); approximate ow/oh with the
-                    # net dims ratio it uses (w/ow factors cancel in-range)
-                    ls = min(cx, max(0, -pleft))
-                    ts = min(cy, max(0, -ptop))
-                    rs = min(w - cx, max(0, -pright))
-                    bs = min(h - cy, max(0, -pbot))
+                    # padding scaled from original-image to net pixels
+                    # (`-pleft * w / ow`, data.cpp:577-586); C int division
+                    # truncates toward zero but max(0, .) only passes
+                    # positives, so floor (//) is equivalent
+                    ow = meta.get("ow", w)
+                    oh = meta.get("oh", h)
+                    ls = min(cx, max(0, (-pleft * w) // ow))
+                    ts = min(cy, max(0, (-ptop * h) // oh))
+                    rs = min(w - cx, max(0, (-pright * w) // ow))
+                    bs = min(h - cy, max(0, (-pbot * h) // oh))
                     if quad == 0:
                         x[i, :cy, :cx] = img[h - cy - bs:h - bs,
                                              w - cx - rs:w - rs]

@@ -725,8 +725,8 @@ def build_graph(cfg, train: bool = False) -> Graph:
         # per-layer generic flags (parser.cpp:1360-1369)
         l.clip = s.get_float("clip", 0.0)
         l.onlyforward = bool(s.get_int("onlyforward", 0))
-        l.dont_update = bool(s.get_int("dont_update", 0))
-        l.burnin_update = bool(s.get_int("burnin_update", 0))
+        l.dont_update = s.get_int("dont_update", 0)
+        l.burnin_update = s.get_int("burnin_update", 0)
         l.stopbackward = bool(s.get_int("stopbackward", 0))
         l.train_only_bn = bool(s.get_int("train_only_bn", 0))
         l.dontload = bool(s.get_int("dontload", 0))

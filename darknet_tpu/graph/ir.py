@@ -140,8 +140,12 @@ class LayerIR:
     # generic per-layer flags parsed for every section (parser.cpp:1360-1369)
     clip: float = 0.0
     onlyforward: bool = False
-    dont_update: bool = False
-    burnin_update: bool = False
+    # iteration threshold: the update applies only once dont_update < iter
+    # (parser.cpp:1363, network_kernels.cu:231) — NOT a boolean
+    dont_update: int = 0
+    # multiplier: update skipped while burnin_update * net.burn_in > iter
+    # (network_kernels.cu:228)
+    burnin_update: int = 0
     stopbackward: bool = False
     train_only_bn: bool = False
     dontload: bool = False

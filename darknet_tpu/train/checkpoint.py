@@ -53,6 +53,11 @@ def load_checkpoint(path, params_template, opt_template):
                     for i, v in enumerate(template)]
         if template is None:
             return None
+        if prefix not in data:
+            # older checkpoint lacking a newer optimizer slot (e.g. the
+            # sgd step counter / adam pending-updates buffer): keep the
+            # template's zero-init value
+            return np.asarray(template)
         return data[prefix]
 
     params = rebuild(params_template, "params")

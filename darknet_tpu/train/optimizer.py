@@ -1,6 +1,6 @@
 """Darknet-semantics optimizers as pure JAX update functions.
 
-SGD+momentum (UpdateConvolutionalLayer, convolutional_layer.cpp:1382-1400):
+SGD+momentum (UpdateConvolutionalLayerGpu, convolutional_kernels.cu:900-918):
 
     u  += -decay * batch * w          # weight decay only on conv weights
     w  += (lr/batch) * u
@@ -8,22 +8,40 @@ SGD+momentum (UpdateConvolutionalLayer, convolutional_layer.cpp:1382-1400):
 
 where `u` is the persistent "updates" buffer holding the gradient-ASCENT
 accumulation (darknet deltas are target-minus-pred).  We keep the darknet
-convention internally: `grads` passed here are ascent directions; use
-`negate=True` when feeding standard descent gradients.
+convention internally: `grads` passed here are ascent directions.
 
-Adam (adam_update_gpu, blas_kernels.cu:99-134):
+Adam (adam_update_gpu, blas_kernels.cu:120-134):
 
-    d   = grad - decay * batch * w
+    d   = updates - decay * batch * w   # decay on EVERY array (bias too)
     m   = B1*m + (1-B1)*d ;  v = B2*v + (1-B2)*d^2
-    w  += rate * m_hat / (sqrt(v_hat) + eps)      # rate NOT divided by batch
+    w  += rate * m_hat / (sqrt(v_hat) + eps)    # rate NOT divided by batch
+    updates = 0                                  # consumed
 
-Also ports the update-side NaN hygiene of the fp16 path
-(reset_nan_and_inf on updates, fix_nan_and_inf on weights,
-convolutional_kernels.cu:881-882) and per-layer ``learning_rate_scale``.
+Update gates (UpdateNetworkGpu, network_kernels.cu:226-240) — the GPU
+interpreter (production path) skips a layer's apply when:
 
-State layout mirrors the params PyTree: per layer, per array, a velocity (or
-m/v pair) of the same shape.  These buffers are exactly what the reference
-does NOT checkpoint (SURVEY.md §5) — our checkpoints do include them.
+  * ``l.burnin_update`` and ``burnin_update * net.burn_in > iter``
+  * ``l.train_only_bn``  (always; weights frozen, BN rolling stats still
+    update in the forward pass)
+  * ``not (l.dont_update < iter)``  — an ITERATION THRESHOLD, not a bool
+    (parser.cpp:1363)
+
+While an update is gated off, the backward pass keeps ACCUMULATING into the
+updates buffer (backward is never gated), so when the gate opens the whole
+backlog applies at once — reproduced here by accumulating `u` every step
+and gating only the apply.  `iter` is carried on-device as `state["t"]`,
+incremented once per optimizer call; the reference increments `curr_iter`
+BEFORE UpdateNetworkGpu (network.cpp:225-231), so the first step compares
+against iter == 1.
+
+NaN hygiene at apply time (convolutional_kernels.cu:881-882):
+`reset_nan_and_inf` on the accumulated weight updates + `fix_nan_and_inf`
+on the weights — conv WEIGHTS only, not biases/scales.
+
+State layout mirrors the params PyTree: per layer, per array, a velocity
+(or m/v pair) of the same shape, plus the scalar step counter.  These
+buffers are exactly what the reference does NOT checkpoint (SURVEY.md §5)
+— our checkpoints do include them.
 """
 
 from __future__ import annotations
@@ -37,13 +55,15 @@ def _zeros_like_params(params):
 
 
 def init_sgd_state(params):
-    return {"u": _zeros_like_params(params)}
+    return {"u": _zeros_like_params(params),
+            "t": jnp.zeros((), jnp.int32)}
 
 
 def init_adam_state(params):
     return {
         "m": _zeros_like_params(params),
         "v": _zeros_like_params(params),
+        "u": _zeros_like_params(params),   # pending (unapplied) updates
         "t": jnp.zeros((), jnp.int32),
     }
 
@@ -52,66 +72,135 @@ def _scrub(x):
     return jnp.where(jnp.isfinite(x), x, 0.0)
 
 
+def _conv_clip(l):
+    """clip= applies to conv weights only — the reference constrains them
+    post-update in UpdateConvolutionalLayerGpu (convolutional_kernels.cu:
+    919-921); other layer updates ignore l->clip."""
+    return type(l).__name__ == "ConvIR" and getattr(l, "clip", 0.0)
+
+
+def _layer_gate(l, t, net):
+    """Per-layer update gate for iteration `t` (traced int scalar).
+
+    Returns None (always update), False (never — train_only_bn), or a
+    traced bool.  Mirrors UpdateNetworkGpu, network_kernels.cu:226-240.
+    """
+    if getattr(l, "train_only_bn", False):
+        return False
+    conds = []
+    bu = int(getattr(l, "burnin_update", 0) or 0)
+    if bu:
+        # skip while burnin_update * burn_in > iter
+        conds.append(jnp.int32(bu * net.burn_in) <= t)
+    du = int(getattr(l, "dont_update", 0) or 0)
+    if du:
+        # update only once dont_update < iter
+        conds.append(jnp.int32(du) < t)
+    if not conds:
+        return None
+    g = conds[0]
+    for c in conds[1:]:
+        g = g & c
+    return g
+
+
 def sgd_update(graph, params, grads, state, *, lr, momentum, decay, batch,
                scrub_nan: bool = True):
     """One darknet SGD+momentum step over the whole params list.
 
     `grads` are ascent directions (darknet deltas summed into updates).
     decay applies only to "w" arrays of conv/connected/local layers
-    (biases/scales have no decay, reference :1392-1398).
+    (biases/scales have no decay, convolutional_kernels.cu:902-918).
     """
+    t = state["t"] + 1
+    net = graph.net
     new_params = []
     new_u = []
     for l, p, g, u in zip(graph.layers, params, grads, state["u"]):
+        gate = _layer_gate(l, t, net)
         lr_l = lr * getattr(l, "learning_rate_scale", 1.0)
         np_, nu_ = {}, {}
         for k in p:
             pk, gk, uk = p[k], g.get(k), u.get(k)
-            if gk is None or (getattr(l, "dont_update", False)):
-                np_[k], nu_[k] = pk, uk if uk is not None else jnp.zeros_like(pk)
+            if uk is None:
+                uk = jnp.zeros_like(pk)
+            if gk is None or gate is False:
+                np_[k], nu_[k] = pk, uk
                 continue
-            if scrub_nan:
-                gk = _scrub(gk)
-                pk = _scrub(pk)
+            # backward accumulation — never gated
             uk = uk + gk
+            # apply (update_gpu) — gated
+            uk_a, pk_a = uk, pk
+            if k == "w" and scrub_nan:
+                uk_a = _scrub(uk_a)
+                pk_a = _scrub(pk_a)
             if k == "w":
-                uk = uk - decay * batch * pk
-            pk = pk + (lr_l / batch) * uk
-            uk = uk * momentum
-            np_[k], nu_[k] = pk, uk
+                uk_a = uk_a - decay * batch * pk_a
+            pk_new = pk_a + (lr_l / batch) * uk_a
+            uk_new = uk_a * momentum
+            if k == "w" and _conv_clip(l):
+                # constrain_ongpu post-update (convolutional_kernels.cu:919-921)
+                pk_new = jnp.clip(pk_new, -l.clip, l.clip)
+            if gate is None:
+                np_[k], nu_[k] = pk_new, uk_new
+            else:
+                np_[k] = jnp.where(gate, pk_new, pk)
+                nu_[k] = jnp.where(gate, uk_new, uk)
         new_params.append(np_)
         new_u.append(nu_)
-    return new_params, {"u": new_u}
+    return new_params, {"u": new_u, "t": t}
 
 
 def adam_update(graph, params, grads, state, *, lr, B1, B2, eps, decay, batch,
                 scrub_nan: bool = True):
     t = state["t"] + 1
-    new_params, new_m, new_v = [], [], []
+    net = graph.net
+    new_params, new_m, new_v, new_u = [], [], [], []
     bias_corr_m = 1.0 - jnp.power(B1, t.astype(jnp.float32))
     bias_corr_v = 1.0 - jnp.power(B2, t.astype(jnp.float32))
-    for l, p, g, m, v in zip(graph.layers, params, grads, state["m"],
-                             state["v"]):
+    u_state = state.get("u") or [{} for _ in params]
+    for l, p, g, m, v, u in zip(graph.layers, params, grads, state["m"],
+                                state["v"], u_state):
+        gate = _layer_gate(l, t, net)
         lr_l = lr * getattr(l, "learning_rate_scale", 1.0)
-        np_, nm_, nv_ = {}, {}, {}
+        np_, nm_, nv_, nu_ = {}, {}, {}, {}
         for k in p:
             pk, gk = p[k], g.get(k)
             mk = m.get(k, jnp.zeros_like(pk))
             vk = v.get(k, jnp.zeros_like(pk))
-            if gk is None or (getattr(l, "dont_update", False)):
-                np_[k], nm_[k], nv_[k] = pk, mk, vk
+            uk = u.get(k)
+            if uk is None:
+                uk = jnp.zeros_like(pk)
+            if gk is None or gate is False:
+                np_[k], nm_[k], nv_[k], nu_[k] = pk, mk, vk, uk
                 continue
-            if scrub_nan:
-                gk = _scrub(gk)
-                pk = _scrub(pk)
-            d = gk - (decay * batch * pk if k == "w" else 0.0)
-            mk = B1 * mk + (1 - B1) * d
-            vk = B2 * vk + (1 - B2) * d * d
-            mhat = mk / bias_corr_m
-            vhat = vk / bias_corr_v
-            pk = pk + lr_l * mhat / (jnp.sqrt(vhat) + eps)
-            np_[k], nm_[k], nv_[k] = pk, mk, vk
+            # pending + fresh gradient = the weight_updates buffer content
+            uk = uk + gk
+            d, pk_a = uk, pk
+            if k == "w" and scrub_nan:
+                d = _scrub(d)
+                pk_a = _scrub(pk_a)
+            # adam_update_gpu applies decay to every array it's called on
+            # (weights, biases AND scales — convolutional_kernels.cu:885-897)
+            d = d - decay * batch * pk_a
+            mk_new = B1 * mk + (1 - B1) * d
+            vk_new = B2 * vk + (1 - B2) * d * d
+            mhat = mk_new / bias_corr_m
+            vhat = vk_new / bias_corr_v
+            pk_new = pk_a + lr_l * mhat / (jnp.sqrt(vhat) + eps)
+            if k == "w" and _conv_clip(l):
+                # constrain_ongpu post-update (convolutional_kernels.cu:919-921)
+                pk_new = jnp.clip(pk_new, -l.clip, l.clip)
+            if gate is None:
+                np_[k], nm_[k], nv_[k] = pk_new, mk_new, vk_new
+                nu_[k] = jnp.zeros_like(uk)     # consumed (fill_ongpu 0)
+            else:
+                np_[k] = jnp.where(gate, pk_new, pk)
+                nm_[k] = jnp.where(gate, mk_new, mk)
+                nv_[k] = jnp.where(gate, vk_new, vk)
+                nu_[k] = jnp.where(gate, jnp.zeros_like(uk), uk)
         new_params.append(np_)
         new_m.append(nm_)
         new_v.append(nv_)
-    return new_params, {"m": new_m, "v": new_v, "t": t}
+        new_u.append(nu_)
+    return new_params, {"m": new_m, "v": new_v, "u": new_u, "t": t}
