@@ -100,6 +100,22 @@ def parse_cfg_file(path) -> list[Section]:
         return parse_cfg_text(f.read())
 
 
+def patch_cfg_dims(text: str, w: int, h: int) -> str:
+    """Rewrite the [net] width=/height= lines of cfg TEXT for runtime
+    resize / multi-scale rebuilds.  Whitespace-tolerant (the parser strips
+    `width = 608` to `width=608`, so a bare `^width=` regex would silently
+    miss it); raises if either line is absent rather than failing later
+    with a shape error."""
+    import re
+
+    out, n_w = re.subn(r"(?m)^\s*width\s*=.*$", f"width={w}", text, count=1)
+    out, n_h = re.subn(r"(?m)^\s*height\s*=.*$", f"height={h}", out, count=1)
+    if n_w == 0 or n_h == 0:
+        raise ValueError("cfg text has no width=/height= line to patch "
+                         "for resize")
+    return out
+
+
 def iter_unused_warnings(sections: list[Section]) -> Iterator[str]:
     for s in sections:
         for key in s.unused():

@@ -358,8 +358,7 @@ class Network:
         """ResizeNetwork (network.cpp:255-410): rebuild the graph at a new
         input resolution.  Under XLA this is a re-jit — each (w, h) bucket
         compiles once and is cached; parameters carry over unchanged."""
-        import re
-
+        from darknet_tpu.config.cfg import patch_cfg_dims
         from darknet_tpu.graph.builder import build_graph
 
         if (w, h) == (self.net.w, self.net.h):
@@ -369,8 +368,7 @@ class Network:
         cfg = getattr(self, "_cfg_text", None)
         if cfg is None:
             raise ValueError("resize requires a Network built from a cfg")
-        cfg = re.sub(r"(?m)^width=.*$", f"width={w}", cfg)
-        cfg = re.sub(r"(?m)^height=.*$", f"height={h}", cfg)
+        cfg = patch_cfg_dims(cfg, w, h)
         graph = build_graph(cfg, train=self.train)
         net2 = Network(graph, self.params, fused=self.fused,
                        train=self.train, compute_dtype=self.compute_dtype,

@@ -114,6 +114,12 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
     descending-prob order and suppressed by any *surviving* higher-ranked
     detection with similarity > thresh.  Runs as C independent passes over a
     shared (N,N) similarity matrix (vmapped); N is static.
+
+    Memory: the dense rank predicate P is (C,N,N) bool, so a batched
+    (vmapped) call holds O(B*C*N^2) live across the while_loop — ~170 MB at
+    B=32, C=80, N=256 (the serving default).  Fine at N<=256; if top_k is
+    ever raised >=1k, re-derive P inside the loop body from the (N,N)
+    suppress matrix + per-class rank compares instead of materializing it.
     """
     n = boxes.shape[0]
     if kind == "greedynms":

@@ -33,6 +33,17 @@ def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
     inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False,
                             accum=accum, remat=remat)
 
+    # each micro-batch must split evenly across the dp shards — an uneven
+    # split wouldn't fail, but XLA would silently reshard every scan step
+    # (communication per micro-batch instead of one psum at the end)
+    b = graph.net.optimizer_batch
+    n_dp = mesh.shape[axis]
+    if accum >= 1 and b % max(accum, 1) == 0:
+        micro = b // max(accum, 1)
+        assert micro % n_dp == 0, (
+            f"micro-batch {micro} (= batch {b} / subdivisions {accum}) "
+            f"must divide evenly across the {n_dp}-device '{axis}' axis")
+
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P(axis))
 
