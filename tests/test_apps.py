@@ -216,3 +216,32 @@ def test_multi_video_device_letterbox(tmp_path, fixtures_dir):
     for frame, (_display, dets) in zip(frames, outs):
         _d1, dets1 = _proc_frame(net, md, frame, A())
         assert abs(len(dets) - len(dets1)) <= max(2, len(dets1) // 10)
+
+
+def test_cli_image_mode_device_nms(tmp_path, fixtures_dir):
+    """-device_nms on: image mode rides the on-device decode+top-k+NMS
+    serving program (the path bench.py measures) and still produces the
+    detection overlay output."""
+    import cv2
+
+    img = np.full((240, 320, 3), 127, np.uint8)
+    cv2.rectangle(img, (100, 60), (220, 180), (30, 200, 30), -1)
+    img_path = str(tmp_path / "t.jpg")
+    cv2.imwrite(img_path, img)
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+
+    from darknet_tpu.apps.cli import main
+
+    main(["-mode", "image",
+          "-data_file", str(data),
+          "-model_file", os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+          "-weights_file", "/nonexistent",
+          "-input_file", img_path,
+          "-thresh", "0.3",
+          "-device_nms", "on",
+          "-out_dir", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "det_t.jpg").exists()
