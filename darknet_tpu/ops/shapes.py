@@ -174,10 +174,34 @@ def dropblock(x, rng, probability: float, block_size_abs: int,
     return x * keep / denom
 
 
-def crop_layer(x, l, *, train: bool = False):
-    """[crop] (crop_layer.c): at inference, a deterministic center crop with
-    no photometric adjustment."""
+def crop_layer(x, l, *, train: bool = False, rng=None):
+    """[crop] (crop_layer.c:63-101, ForwardCropLayer).
+
+    Train: ONE random crop offset + one flip draw for the whole batch
+    (the reference draws rand() once outside the b/c/i/j loops,
+    crop_layer.c:65-67).  Inference: deterministic center crop, no flip.
+    Both modes map pixels through `out = in * 2 - 1` unless noadjust=1
+    (crop_layer.c:68-75 — scale/trans apply regardless of train)."""
+    import jax
+    from jax import lax
+
     b, h, w, c = x.shape
-    dh = (h - l.crop_height) // 2
-    dw = (w - l.crop_width) // 2
-    return x[:, dh:dh + l.crop_height, dw:dw + l.crop_width, :]
+    oh, ow = l.crop_height, l.crop_width
+    if train and rng is not None:
+        kf, kh, kw = jax.random.split(rng, 3)
+        dh = jax.random.randint(kh, (), 0, h - oh + 1)
+        dw = jax.random.randint(kw, (), 0, w - ow + 1)
+        if l.flip:
+            flip = jax.random.bernoulli(kf)
+            # flipped output col j reads input col (w-dw-1-j)
+            # == column (dw+j) of the horizontally reversed image, so a
+            # flip is the same dynamic_slice on the flipped input
+            x = jnp.where(flip, jnp.flip(x, axis=2), x)
+        out = lax.dynamic_slice(x, (0, dh, dw, 0), (b, oh, ow, c))
+    else:
+        dh = (h - oh) // 2
+        dw = (w - ow) // 2
+        out = x[:, dh:dh + oh, dw:dw + ow, :]
+    if not l.noadjust:
+        out = out * 2.0 - 1.0
+    return out

@@ -386,3 +386,36 @@ def test_yolov3_spp_parity(harness, tmp_path, rng):
 
     _compare(model_zoo.yolov3_spp_cfg(224, 224), tmp_path, harness, rng,
              224, thresh=0.2)
+
+
+def test_crop_layer_parity(harness, tmp_path, rng):
+    """[crop] inference semantics vs the binary: center crop + the
+    out = in*2 - 1 scale/trans that applies in BOTH modes unless
+    noadjust=1 (crop_layer.c:68-101) — the round-2 implementation missed
+    the scaling entirely."""
+    cfg = """[net]
+width=64
+height=64
+channels=3
+[crop]
+crop_height=56
+crop_width=56
+flip=1
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=16
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=3
+anchors=10,14, 23,27
+"""
+    _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
