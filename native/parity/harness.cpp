@@ -14,11 +14,22 @@
 //     harness valid data.cfg cfg weights iou_thresh out.bin
 //     -> ValidateDetector (detector.cpp:326-561), the de-facto mAP
 //        pipeline; dumps the returned mAP as one float.
+//   trainloop:
+//     harness trainloop cfg weights train.list n_iters out.weights losses.bin
+//     -> the reference's FULL training loop (detector.cpp:27-324 minus
+//        multi-GPU/chart): its own threaded augmenting loader
+//        (load_data, data.cpp:829) + TrainNetwork per iteration +
+//        SaveWeights at the end; dumps the per-iteration loss curve.
+//        weights may be "-" for random init.  This is the oracle for the
+//        end-to-end train-A/B gate (tests/test_reference_trainloop.py).
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
+#include "data.h"
 #include "network.h"
 #include "option_list.h"
+#include "parser.h"
 #include "yolo_core.h"
 
 extern "C" void init_cpu();
@@ -125,10 +136,79 @@ static int mode_valid(int argc, char** argv)
   return 0;
 }
 
+static int mode_trainloop(int argc, char** argv)
+{
+  // harness trainloop cfg weights train.list n_iters out.weights losses.bin
+  if (argc < 8) {
+    fprintf(stderr, "usage: harness trainloop cfg weights train.list "
+                    "n_iters out.weights losses.bin\n");
+    return 1;
+  }
+  char const* weights = strcmp(argv[3], "-") == 0 ? nullptr : argv[3];
+  int n_iters = atoi(argv[5]);
+  Network net = {0};
+  if (!LoadNetwork(&net, argv[2], weights, true, true)) {
+    fprintf(stderr, "load failed\n");
+    return 2;
+  }
+  list* plist = get_paths(argv[4]);
+  char** paths = (char**)ListToArray(plist);
+  layer* l = &net.layers[net.n - 1];
+
+  // mirror detector.cpp:96-130 (single GPU-count, fixed resolution)
+  data buffer = {0};
+  load_args args = {0};
+  args.w = net.w;
+  args.h = net.h;
+  args.c = net.c;
+  args.paths = paths;
+  args.n = net.batch * net.subdiv;
+  args.m = plist->size;
+  args.classes = l->classes;
+  args.flip = net.flip;
+  args.jitter = l->jitter;
+  args.num_boxes = l->max_boxes;
+  args.d = &buffer;
+  args.type = DETECTION_DATA;
+  args.gaussian_noise = net.gaussian_noise;
+  args.blur = net.blur;
+  args.mixup = net.mixup;
+  args.exposure = net.exposure;
+  args.saturation = net.saturation;
+  args.hue = net.hue;
+  args.threads = 4;
+
+  net.max_iter = n_iters;
+  pthread_t load_thread = load_data(args);
+  std::vector<float> losses;
+  while (GetCurrIter(&net) < n_iters) {
+    pthread_join(load_thread, nullptr);
+    data train = buffer;
+    load_thread = load_data(args);
+    float loss = TrainNetwork(&net, train);
+    free_data(train);
+    losses.push_back(loss);
+    fprintf(stderr, "[%04ld] loss=%f\n", (long)GetCurrIter(&net), loss);
+  }
+  pthread_join(load_thread, nullptr);
+  free_data(buffer);
+
+  SaveWeights(&net, argv[6]);
+  FILE* fo = fopen(argv[7], "wb");
+  int n = (int)losses.size();
+  fwrite(&n, sizeof(int), 1, fo);
+  fwrite(losses.data(), sizeof(float), n, fo);
+  fclose(fo);
+  fprintf(stderr, "ok trainloop %d iters\n", n);
+  return 0;
+}
+
 int main(int argc, char** argv)
 {
   init_cpu();
   if (argc > 1 && strcmp(argv[1], "train") == 0) return mode_train(argc, argv);
   if (argc > 1 && strcmp(argv[1], "valid") == 0) return mode_valid(argc, argv);
+  if (argc > 1 && strcmp(argv[1], "trainloop") == 0)
+    return mode_trainloop(argc, argv);
   return mode_predict(argc, argv);
 }

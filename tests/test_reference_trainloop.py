@@ -1,0 +1,180 @@
+"""END-TO-END TRAIN A/B GOLDEN GATE — VERDICT round-2 action #1.
+
+Trains BOTH implementations from the SAME random init on the SAME
+structured synthetic dataset (generated from a seed at test runtime —
+data neither side has seen at gate-construction time), each through its
+OWN full pipeline:
+
+  reference: harness `trainloop` = its threaded augmenting loader
+             (load_data, data.cpp:829) + TrainNetwork per iteration
+             (network.cpp:210) + SaveWeights — the real training loop.
+  ours:      DetectorTrainer (darknet_tpu/train/trainer.py) = our loader
+             (jitter/flip/HSV augmentation), jitted train step, optimizer.
+
+The REFERENCE BINARY then judges BOTH final weight files with its own
+`valid` mode (ValidateDetector, detector.cpp:326-561) — a symmetric,
+implementation-independent verdict.  Gates:
+
+  1. both implementations actually learn (mAP far above random-init);
+  2. their final mAPs agree within a statistical tolerance;
+  3. both loss curves collapse by >90%;
+  4. our own validate_detector agrees with the binary's verdict on our
+     weights (valid-pipeline cross-check on well-trained, tie-heavy
+     score distributions).
+
+Measured calibration (1000 iters, seed 1234): ref 0.302, ours 0.338,
+random init 0.002; at the 600 iters used here both sides land ~0.2-0.3.
+"""
+
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.synth_dataset import generate
+from tests.test_reference_parity import BUILD_DIR, REF, harness  # noqa: F401
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "src")),
+    reason="reference tree not available")
+
+N_ITERS = 600
+
+CFG = """[net]
+batch=8
+subdivisions=1
+width=96
+height=96
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.002
+burn_in=20
+policy=constant
+max_epoch=100
+flip=1
+saturation=1.2
+exposure=1.2
+hue=.05
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=48
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters=27
+size=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+num=3
+classes=4
+anchors=20,20, 32,32, 42,30
+jitter=0.1
+ignore_thresh=0.5
+truth_thresh=1
+scale_x_y=1.0
+nms_kind=greedynms
+"""
+
+
+def _ref_valid_map(harness, data_file, cfg, weights, out) -> float:
+    r = subprocess.run([harness, "valid", data_file, cfg, weights,
+                        "0.5", out], capture_output=True, timeout=1200,
+                       cwd=BUILD_DIR)
+    assert r.returncode == 0, r.stderr[-800:]
+    (m,) = struct.unpack("<f", open(out, "rb").read(4))
+    return m
+
+
+def test_train_ab_vs_reference(harness, tmp_path):
+    files = generate(str(tmp_path / "ds"), n_train=480, n_val=80, seed=1234)
+    cfg_path = str(tmp_path / "m.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+
+    # one shared random init
+    from darknet_tpu.nn.network import Network
+
+    init_w = str(tmp_path / "init.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=7).save_weights(init_w)
+
+    # ---- reference side: its own loader + TrainNetwork loop ----
+    ref_w = str(tmp_path / "ref_final.weights")
+    ref_losses_bin = str(tmp_path / "ref_losses.bin")
+    r = subprocess.run(
+        [harness, "trainloop", cfg_path, init_w, files["train_list"],
+         str(N_ITERS), ref_w, ref_losses_bin],
+        capture_output=True, timeout=3000, cwd=BUILD_DIR)
+    assert r.returncode == 0, r.stderr[-800:]
+    with open(ref_losses_bin, "rb") as f:
+        (n,) = struct.unpack("<i", f.read(4))
+        ref_losses = np.frombuffer(f.read(4 * n), dtype="<f4")
+    assert n == N_ITERS
+
+    # ---- our side: DetectorTrainer end-to-end ----
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    our_losses = []
+    tr = DetectorTrainer(
+        cfg_path, files["train_paths"], weights=init_w, classes=4,
+        save_dir=str(tmp_path / "backup"), save_name="ours",
+        loader_threads=4, seed=3, val_paths=files["val_paths"],
+        log=lambda *a: None)
+    tr.net.max_iter = max(tr.net.max_iter, N_ITERS)
+    orig_step = tr.metrics.step
+    tr.metrics.step = lambda it, **kw: (our_losses.append(kw["loss"]),
+                                        orig_step(it, **kw))[-1]
+    tr.train(max_iters=N_ITERS)
+    our_w = tr.save(suffix="ab")
+    our_map_self = tr.evaluate_map()
+
+    # ---- the reference binary judges both ----
+    ref_map = _ref_valid_map(harness, files["data"], cfg_path, ref_w,
+                             str(tmp_path / "ref_map.bin"))
+    our_map = _ref_valid_map(harness, files["data"], cfg_path, our_w,
+                             str(tmp_path / "our_map.bin"))
+    init_map = _ref_valid_map(harness, files["data"], cfg_path, init_w,
+                              str(tmp_path / "init_map.bin"))
+
+    print(f"\nmAP@0.5 after {N_ITERS} iters: ref={ref_map:.4f} "
+          f"ours={our_map:.4f} (self-reported {our_map_self:.4f}) "
+          f"init={init_map:.4f}")
+
+    # 1. both implementations learned (init is ~0.002 on this data)
+    assert ref_map > 0.10, ref_map
+    assert our_map > 0.10, our_map
+    assert our_map > 10 * max(init_map, 1e-3)
+    # 2. A/B agreement (measured diff 0.035 at 1000 iters; tolerance
+    #    covers loader-scheduling + augmentation RNG variance)
+    assert abs(our_map - ref_map) < 0.15, (our_map, ref_map)
+    # 3. loss curves collapse on both sides
+    assert np.mean(ref_losses[-50:]) < 0.1 * np.mean(ref_losses[:50])
+    assert np.mean(our_losses[-50:]) < 0.1 * np.mean(our_losses[:50])
+    # 4. our valid pipeline agrees with the binary's verdict on the same
+    #    weights (tie-heavy trained score distributions)
+    assert abs(our_map_self - our_map) < 0.02, (our_map_self, our_map)
