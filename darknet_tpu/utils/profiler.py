@@ -79,12 +79,34 @@ def trace_report(fn, *args, graph=None, iters: int = 5, log=print,
         raise RuntimeError(f"no trace produced under {tdir}")
     events = json.load(gzip.open(files[-1]))["traceEvents"]
 
+    # Two trace schemas:
+    #  * CPU backend: per-op events carry args.hlo_op on a host pid.
+    #  * TPU (xprof): events on the device pid's "XLA Ops" thread; the
+    #    event NAME is the HLO op id, args has hlo_category/long_name
+    #    but no hlo_op, and "XLA Modules" rows are whole-program spans
+    #    (excluded — they'd double-count the total).
+    dev_pids = set()
+    op_tids = {}
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        a = e.get("args") or {}
+        if e.get("name") == "process_name" and \
+                str(a.get("name", "")).startswith("/device:"):
+            dev_pids.add(e["pid"])
+        if e.get("name") == "thread_name":
+            op_tids[(e["pid"], e.get("tid"))] = a.get("name", "")
+
     per_op: dict = collections.Counter()
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         a = e.get("args") or {}
         op = a.get("hlo_op")
+        if not op and e.get("pid") in dev_pids:
+            tname = op_tids.get((e["pid"], e.get("tid")), "")
+            if "XLA Ops" in tname:
+                op = e.get("name")
         if not op:
             continue
         per_op[op] += e["dur"]          # microseconds
