@@ -71,7 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="serve through the on-device decode+top-k+NMS "
                         "program (the path bench.py measures); auto = on "
-                        "when running on TPU")
+                        "when running on TPU.  NOTE: the device path keeps "
+                        "the top_k objectness candidates per frame before "
+                        "NMS (the host path considers all) — raise -top_k "
+                        "for dense scenes at low -thresh")
+    p.add_argument("-top_k", "--top_k", type=int, default=256,
+                   help="device serving path: candidates kept per image")
     return p
 
 
@@ -125,7 +130,8 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
         # NMS on device, only top-k candidates leave HBM — the same
         # program bench.py measures
         dets = net.detect_batch_device(resized[None], thresh=args.thresh,
-                                       nms=args.nms_thresh)[0]
+                                       nms=args.nms_thresh,
+                                       top_k=getattr(args, "top_k", 256))[0]
     else:
         dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
     if getattr(args, "letter_box", False) and dets:
@@ -190,7 +196,8 @@ def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
         x = np.stack(xs)
     if _use_device_nms(args):
         dets_b = net.detect_batch_device(x, thresh=args.thresh,
-                                         nms=args.nms_thresh)
+                                         nms=args.nms_thresh,
+                                         top_k=getattr(args, "top_k", 256))
     else:
         dets_b = net.detect_batch(x, thresh=args.thresh,
                                   nms=args.nms_thresh)
@@ -265,8 +272,16 @@ def mode_valid(args):
         xb = _jnp.asarray(_np.random.default_rng(0).uniform(
             0, 1, (1, net.net.h, net.net.w, net.net.c)
         ).astype(_np.float32))
-        trace_report(lambda p, x: fwd(p, x)["output"], net.params, xb,
-                     graph=net.graph)
+
+        def _probe(p, x):
+            # consume EVERY head (not just the last layer's output) so XLA
+            # can't dead-code-eliminate the other detection branches —
+            # the profiled program must be the full serving graph
+            r = fwd(p, x)
+            outs = r["heads"] if r["heads"] else [r["output"]]
+            return sum(_jnp.sum(o.astype(_jnp.float32)) for o in outs)
+
+        trace_report(_probe, net.params, xb, graph=net.graph)
         if args.benchmark_layers >= 2:
             benchmark_layers(net.graph, net.params,
                              compute_dtype=net.compute_dtype,

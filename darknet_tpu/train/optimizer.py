@@ -54,17 +54,40 @@ def _zeros_like_params(params):
     return jax.tree_util.tree_map(jnp.zeros_like, params)
 
 
-def init_sgd_state(params):
+def _has_temporary_gate(l) -> bool:
+    """Layers whose update gate OPENS later (burnin_update / dont_update
+    thresholds) need a pending-updates buffer so the gated-off backlog can
+    apply when the gate opens; train_only_bn never opens, and ungated
+    layers consume gradients immediately — neither needs the buffer."""
+    return bool(int(getattr(l, "burnin_update", 0) or 0)
+                or int(getattr(l, "dont_update", 0) or 0))
+
+
+def init_sgd_state(params, *, iter0: int = 0):
+    """`iter0` seeds the on-device iteration counter used by the update
+    gates; pass curr_iter (= seen / optimizer_batch) when resuming from
+    weights so gate thresholds compare against the TRUE iteration like
+    the reference's GetCurrIter (network.cpp:225-231)."""
     return {"u": _zeros_like_params(params),
-            "t": jnp.zeros((), jnp.int32)}
+            "t": jnp.asarray(iter0, jnp.int32)}
 
 
-def init_adam_state(params):
+def init_adam_state(params, *, iter0: int = 0, graph=None):
+    """Adam slots.  The pending-updates buffer `u` is allocated only for
+    layers with a temporary update gate (when `graph` is given) — for
+    everything else gradients are consumed the same step, so a
+    params-sized zero buffer would cost HBM + zero-fill traffic for
+    nothing."""
+    if graph is not None:
+        u = [_zeros_like_params([p])[0] if _has_temporary_gate(l) else {}
+             for l, p in zip(graph.layers, params)]
+    else:
+        u = _zeros_like_params(params)
     return {
         "m": _zeros_like_params(params),
         "v": _zeros_like_params(params),
-        "u": _zeros_like_params(params),   # pending (unapplied) updates
-        "t": jnp.zeros((), jnp.int32),
+        "u": u,                            # pending (unapplied) updates
+        "t": jnp.asarray(iter0, jnp.int32),
     }
 
 
@@ -76,7 +99,7 @@ def _conv_clip(l):
     """clip= applies to conv weights only — the reference constrains them
     post-update in UpdateConvolutionalLayerGpu (convolutional_kernels.cu:
     919-921); other layer updates ignore l->clip."""
-    return type(l).__name__ == "ConvIR" and getattr(l, "clip", 0.0)
+    return l.kind == "convolutional" and getattr(l, "clip", 0.0)
 
 
 def _layer_gate(l, t, net):
@@ -168,15 +191,15 @@ def adam_update(graph, params, grads, state, *, lr, B1, B2, eps, decay, batch,
             pk, gk = p[k], g.get(k)
             mk = m.get(k, jnp.zeros_like(pk))
             vk = v.get(k, jnp.zeros_like(pk))
-            uk = u.get(k)
-            if uk is None:
-                uk = jnp.zeros_like(pk)
+            uk = u.get(k)        # None for layers without a temporary gate
             if gk is None or gate is False:
-                np_[k], nm_[k], nv_[k], nu_[k] = pk, mk, vk, uk
+                np_[k], nm_[k], nv_[k] = pk, mk, vk
+                if uk is not None:
+                    nu_[k] = uk
                 continue
             # pending + fresh gradient = the weight_updates buffer content
-            uk = uk + gk
-            d, pk_a = uk, pk
+            acc = gk if uk is None else uk + gk
+            d, pk_a = acc, pk
             if k == "w" and scrub_nan:
                 d = _scrub(d)
                 pk_a = _scrub(pk_a)
@@ -193,12 +216,15 @@ def adam_update(graph, params, grads, state, *, lr, B1, B2, eps, decay, batch,
                 pk_new = jnp.clip(pk_new, -l.clip, l.clip)
             if gate is None:
                 np_[k], nm_[k], nv_[k] = pk_new, mk_new, vk_new
-                nu_[k] = jnp.zeros_like(uk)     # consumed (fill_ongpu 0)
+                if uk is not None:
+                    nu_[k] = jnp.zeros_like(uk)  # consumed (fill_ongpu 0)
             else:
                 np_[k] = jnp.where(gate, pk_new, pk)
                 nm_[k] = jnp.where(gate, mk_new, mk)
                 nv_[k] = jnp.where(gate, vk_new, vk)
-                nu_[k] = jnp.where(gate, jnp.zeros_like(uk), uk)
+                # a gated layer always has the pending buffer: zero when
+                # applied, keep accumulating while the gate is closed
+                nu_[k] = jnp.where(gate, jnp.zeros_like(acc), acc)
         new_params.append(np_)
         new_m.append(nm_)
         new_v.append(nv_)

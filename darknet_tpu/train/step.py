@@ -210,8 +210,14 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def init_opt_state(graph, params, use_adam: bool | None = None):
+def init_opt_state(graph, params, use_adam: bool | None = None,
+                   *, iter0: int = 0):
+    """iter0 = current iteration when resuming from weights (seen /
+    optimizer_batch): the update-gate thresholds (dont_update /
+    burnin_update) compare against it exactly like GetCurrIter
+    (network.cpp:225-231) — without it, gates would re-freeze from
+    iteration 0 on every weights-only restart."""
     if use_adam is None:
         use_adam = graph.net.adam
-    return opt.init_adam_state(params) if use_adam \
-        else opt.init_sgd_state(params)
+    return opt.init_adam_state(params, iter0=iter0, graph=graph) \
+        if use_adam else opt.init_sgd_state(params, iter0=iter0)

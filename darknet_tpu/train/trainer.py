@@ -75,7 +75,11 @@ class DetectorTrainer:
         if clear:
             self.seen = 0
 
-        self.opt_state = init_opt_state(self.graph, self.params)
+        # seed the update-gate iteration counter from seen so
+        # dont_update/burnin_update thresholds survive a weights-only
+        # resume (the reference derives it from seen, network.cpp:225-231)
+        self.opt_state = init_opt_state(self.graph, self.params,
+                                        iter0=self.curr_iter)
 
         heads = self.graph.heads()
         self.head = heads[-1] if heads else None

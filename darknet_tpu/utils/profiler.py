@@ -59,25 +59,29 @@ def trace_report(fn, *args, graph=None, iters: int = 5, log=print,
 
     Returns a list of (scope, ms_per_iter, bflops) sorted descending.
     """
+    import shutil
     import tempfile
 
     jfn = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
-    lowered = jfn.lower(*args)
-    compiled = lowered.compile()
+    compiled = jfn.lower(*args).compile()
     scopes = _hlo_op_scopes(compiled.as_text())
 
-    r = jfn(*args)                      # warm (already compiled)
+    # run the AOT-compiled executable directly — calling jfn would compile
+    # a second time through the jit dispatch cache
+    r = compiled(*args)                 # warm
     jax.block_until_ready(r)
     tdir = trace_dir or tempfile.mkdtemp(prefix="dk_trace_")
     with jax.profiler.trace(tdir):
         for _ in range(iters):
-            r = jfn(*args)
+            r = compiled(*args)
         jax.block_until_ready(r)
 
     files = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
     if not files:
         raise RuntimeError(f"no trace produced under {tdir}")
     events = json.load(gzip.open(files[-1]))["traceEvents"]
+    if trace_dir is None:
+        shutil.rmtree(tdir, ignore_errors=True)   # traces can be 100s of MB
 
     # Two trace schemas:
     #  * CPU backend: per-op events carry args.hlo_op on a host pid.

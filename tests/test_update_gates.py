@@ -172,3 +172,47 @@ def test_clip_constrains_conv_weights(rng):
     assert np.abs(w).max() <= 0.01 + 1e-7
     # sanity: an unclipped layer under the same huge lr exceeds the bound
     assert np.abs(snaps[-1][0][2]["w"]).max() > 0.01
+
+
+def test_gate_counter_resumes_from_seen():
+    """Weights-only resume: the gate iteration counter must be seeded
+    from the resumed iteration (GetCurrIter = seen/batch,
+    network.cpp:225-231) — NOT restart at 0, which would re-freeze
+    dont_update/burnin_update layers after every restart."""
+    g, params = _setup(flag0="dont_update=3")
+    step = make_train_step(g, donate=False)
+    rng = np.random.default_rng(0)
+    x, truths = _data(rng)
+    key = jax.random.PRNGKey(0)
+
+    # resumed at iteration 10 (> dont_update=3): layer 0 must update
+    # on the very first step
+    opt = init_opt_state(g, params, iter0=10)
+    p2, opt, cost, _ = step(params, opt, x, truths, key, 0.01)
+    assert not np.allclose(np.asarray(p2[0]["w"]),
+                           np.asarray(params[0]["w"]))
+
+    # fresh run (iter0=0): the same first step must leave it frozen
+    opt0 = init_opt_state(g, params, iter0=0)
+    p3, _, _, _ = step(params, opt0, x, truths, key, 0.01)
+    np.testing.assert_array_equal(np.asarray(p3[0]["w"]),
+                                  np.asarray(params[0]["w"]))
+
+
+def test_adam_pending_buffer_only_for_gated_layers():
+    """The Adam pending-updates buffer exists only where a temporary
+    gate needs it (review finding: a params-sized zero buffer on every
+    ungated layer costs HBM + zero-fill for nothing)."""
+    g, params = _setup(flag0="burnin_update=2", adam="adam=1")
+    opt = init_opt_state(g, params)
+    assert opt["u"][0], "gated layer must carry the pending buffer"
+    assert not opt["u"][1], "ungated layer must not"
+    # and the step still runs + matches structure across iterations
+    step = make_train_step(g, donate=False)
+    rng = np.random.default_rng(0)
+    x, truths = _data(rng)
+    key = jax.random.PRNGKey(0)
+    params2, opt2, cost, _ = step(params, opt, x, truths, key, 0.01)
+    assert np.isfinite(float(cost))
+    assert set(opt2["u"][0].keys()) == set(opt["u"][0].keys())
+    assert not opt2["u"][1]
