@@ -70,6 +70,10 @@ def main():
             0, 1, (4, 320, 320, 3)).astype(np.float32)
         absmax = paramlib.calibrate_conv_input_scales(
             gcal, params, [xcal], compute_dtype=jnp.bfloat16)
+        # NOTE: region-covered front convs deliberately stay bf16
+        # (region_int8 off): the packed int8 region path is bit-exact but
+        # measured ~1% slower at b128 (NOTES.md round-3 A/B) — int8 dots
+        # are only ~1.11x bf16 on this stack and the front is layout-bound
         params = paramlib.apply_conv_input_scales(params, absmax, graph=graph)
     params = jax.device_put(params)
 

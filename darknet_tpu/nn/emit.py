@@ -37,6 +37,24 @@ def _liveness(graph) -> set:
     return live
 
 
+def region_conv_indices(graph, *, fused_bn: bool = True) -> set:
+    """Conv layer indices covered by the inference fused-region plans —
+    mirrors make_forward's planning (stem fold included when live).  Used
+    by Network.calibrate_int8 to decide which convs get a static
+    activation scale for the packed int8 serving path."""
+    from darknet_tpu.ops.pallas.fused_region import plan_graph_regions
+    from darknet_tpu.ops.stem import stem_pattern
+
+    stem = bool(fused_bn and stem_pattern(graph)
+                and 0 not in _liveness(graph))
+    idx = set()
+    for pl in plan_graph_regions(graph, stem=stem).values():
+        for k in range(pl.start, pl.stop + 1):
+            if graph.layers[k].kind == "convolutional":
+                idx.add(k)
+    return idx
+
+
 def local_block(x, p, l):
     """[local] locally-connected layer (local_layer.c): per-position conv
     weights.  Patches via XLA's patch extractor, then a per-location

@@ -121,12 +121,24 @@ class Network:
             net._cfg_text = None
         return net
 
-    def calibrate_int8(self, images) -> None:
+    def calibrate_int8(self, images, *, region_int8: bool = False) -> None:
         """Static int8 activation calibration (TensorRT-style): record each
         quantized conv's input range over `images` (iterable of HWC or BHWC
         float arrays, network-sized) and bake per-tensor scales so serving
         skips the per-conv dynamic absmax reduce
-        (ops/conv.conv_block_int8)."""
+        (ops/conv.conv_block_int8).
+
+        region_int8 additionally attaches scales to the convs covered by
+        fused regions (the lane-starved front stages that
+        quantize_conv_params' min_ch filter skips): with a static scale
+        present, the packed region runner executes those steps on the
+        MXU's int8 path too (fused_region._run_steps_xla), bit-exact with
+        the unpacked int8 chain.  OFF by default: measured ~1% SLOWER at
+        yolov4-608 b128 (same-process A/B, NOTES.md) — this stack's int8
+        dots are only ~1.11x bf16 and the packed front is layout-bound,
+        so the extra quantize VPU work nets out negative.  Turn on only
+        for full-int8 deployment consistency.  Convs feeding detection
+        heads stay full-precision either way."""
         if not any("w_q" in p for p in self.params):
             # nothing quantized (int8=False, or no eligible convs) — no-op
             return
@@ -137,8 +149,15 @@ class Network:
         absmax = paramlib.calibrate_conv_input_scales(
             self.graph, self.params, batches,
             compute_dtype=self.compute_dtype)
-        self.params = paramlib.apply_conv_input_scales(self.params, absmax,
-                                                       graph=self.graph)
+        extra = set()
+        if region_int8 and self.fused:
+            from darknet_tpu.nn.emit import region_conv_indices
+
+            extra = region_conv_indices(self.graph, fused_bn=self.fused)
+            extra -= {l.index - 1 for l in self.graph.layers
+                      if l.kind in ("yolo", "gaussian_yolo", "detection")}
+        self.params = paramlib.apply_conv_input_scales(
+            self.params, absmax, graph=self.graph, extra=extra)
         self._fwd_cache.clear()
 
     @property

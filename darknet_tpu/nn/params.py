@@ -155,14 +155,19 @@ def calibrate_conv_input_scales(graph, params: list, batches, *,
 
 
 def apply_conv_input_scales(params: list, absmax: dict,
-                            graph=None) -> list:
+                            graph=None, extra=()) -> list:
     """Attach static activation scales: p["x_scale"] = absmax/127 on every
     quantized conv (one with "w_q") whose index has a calibration entry.
 
     Pass `graph` when the net uses share_index weight sharing: a sharing
     call site reads the SOURCE layer's param dict (nn/emit.py), so its
     input range must be folded into the source's scale (max over all call
-    sites — conservative, no saturation at any site)."""
+    sites — conservative, no saturation at any site).
+
+    `extra` lists layer indices that get an "x_scale" even without "w_q":
+    convs covered by fused regions, whose packed int8 path
+    (ops/pallas/fused_region._run_steps_xla) quantizes the packed weights
+    on the fly and needs only the activation scale."""
     absmax = dict(absmax)
     if graph is not None:
         for l in graph.layers:
@@ -172,9 +177,10 @@ def apply_conv_input_scales(params: list, absmax: dict,
                 src = l.share_index
                 absmax[src] = max(absmax.get(src, 0.0),
                                   float(absmax[l.index]))
+    extra = set(extra)
     out = []
     for i, p in enumerate(params):
-        if "w_q" in p and i in absmax:
+        if ("w_q" in p or i in extra) and i in absmax:
             p = dict(p)
             p["x_scale"] = np.float32(max(float(absmax[i]), 1e-8) / 127.0)
         out.append(p)

@@ -138,6 +138,9 @@ class ConvStep:
                                  # cols: out px 2j'+q reads sx*(2j'+q)+ox-pl
     bn: bool = False             # training-mode batch norm inside the region
     s_fn: Callable = None        # params -> BN scales (n,) when bn
+    li: int = -1                 # graph layer index of this conv (for the
+                                 # int8 serving path: params[li]["x_scale"]
+                                 # holds its calibrated input scale)
 
     @property
     def taps(self) -> tuple:
@@ -407,7 +410,8 @@ def _build_steps(layers, a, end, steps, slot_of, chan_of, resolve,
                 sy=l.stride_y, sx=l.stride_x,
                 bn=bool(train and l.batch_normalize),
                 s_fn=(lambda p, k=k: p[k]["scales"])
-                if train and l.batch_normalize else None))
+                if train and l.batch_normalize else None,
+                li=k))
             slot_of[k] = k
             chan_of[k] = l.n
         elif l.kind == "route":
@@ -561,12 +565,14 @@ def make_stem_steps(graph):
         srcs=(IN_SLOT,), srcs_c=(c_in,), kh=3, kw=3, pt=1, pl_=1,
         n=4 * l0.n, act=l0.activation, out_slot=-100,
         w_fn=lambda p: pack_w0(p[0]["w"]),
-        b_fn=lambda p: jnp.tile(jnp.asarray(p[0]["b"], jnp.float32), 4))
+        b_fn=lambda p: jnp.tile(jnp.asarray(p[0]["b"], jnp.float32), 4),
+        li=0)
     s1 = ConvStep(
         srcs=(-100,), srcs_c=(4 * l0.n,), kh=2, kw=2, pt=1, pl_=1,
         n=l1.n, act=l1.activation, out_slot=1,
         w_fn=lambda p: pack_w1(p[1]["w"]),
-        b_fn=lambda p: p[1]["b"])
+        b_fn=lambda p: p[1]["b"],
+        li=1)
     return [s0, s1], c_in
 
 
@@ -799,7 +805,14 @@ def run_region_xla(plan: RegionPlan, params, x, *,
 
         x = space_to_depth(x)
     b, h, w, c = x.shape
-    xp = x.reshape(b, h, w // 2, 2 * c).astype(cd)
+    # keep the input's own dtype: each fp step casts src to cd itself, and
+    # the int8 path must quantize from the RAW image (f32) exactly like
+    # the per-layer conv_block_int8 — a premature bf16 round-trip here
+    # shifts ~20% of x_q by one and breaks bit-parity with the unpacked
+    # int8 path (train still casts: activations saved under remat)
+    xp = x.reshape(b, h, w // 2, 2 * c)
+    if train:
+        xp = xp.astype(cd)
 
     slots = {IN_SLOT: xp}
     bn_stats = _run_steps_xla(params, slots, plan.steps, cd, train=train)
@@ -830,6 +843,53 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False):
         w4 = w2k.reshape(len(dys), len(djs), 2 * step.c_tot, 2 * step.n)
         src = slots[step.srcs[0]] if len(step.srcs) == 1 else \
             jnp.concatenate([slots[s] for s in step.srcs], axis=-1)
+
+        # int8 serving path: when the step's graph layer carries a static
+        # calibrated activation scale (nn/params.apply_conv_input_scales),
+        # run the packed conv on the MXU's int8 path — int8 activations
+        # (static per-tensor scale: the quantize is pure elementwise work,
+        # fused into the producer's epilogue) x int8 packed weights
+        # (per-packed-output-channel symmetric absmax scales), int32
+        # accumulation, f32 dequant+bias epilogue.  Exactly the packed
+        # analogue of ops/conv.conv_block_int8: the packed per-channel
+        # weight scales are the original per-filter scales tiled over the
+        # two pixel phases, so every int32 accumulator sums the same
+        # quantized products as the unpacked conv (associativity makes the
+        # match exact — see test_fused_region int8 parity).
+        p_l = params[step.li] if (not train and 0 <= step.li < len(params)) \
+            else {}
+        if "x_scale" in p_l:
+            x_scale = jnp.asarray(p_l["x_scale"], jnp.float32)
+            w4f = w4.astype(jnp.float32)
+            if "w_scale" in p_l:
+                # use the layer's stored per-filter scales, tiled over the
+                # pixel phases (packed channel order is phase-major, see
+                # b_fn's jnp.tile/concat) — the packed w_q then holds the
+                # SAME quantized integers as the unpacked p["w_q"] (a
+                # phase channel sees only a subset of the filter's taps,
+                # so a per-packed-channel absmax would pick a different,
+                # finer grid and break bit-exactness with conv_block_int8)
+                s0 = jnp.asarray(p_l["w_scale"], jnp.float32)
+                w_scale = jnp.tile(s0, w4.shape[-1] // s0.shape[0])
+            else:
+                w_scale = jnp.maximum(
+                    jnp.max(jnp.abs(w4f), axis=(0, 1, 2)), 1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(w4f / w_scale), -127,
+                           127).astype(jnp.int8)
+            x_q = jnp.clip(jnp.round(src.astype(jnp.float32) / x_scale),
+                           -127, 127).astype(jnp.int8)
+            acc = lax.conv_general_dilated(
+                x_q, w_q, (step.sy, step.sx),
+                ((-dys[0], dys[-1]), (-djs[0], djs[-1])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            beta = jnp.asarray(step.b_fn(params), jnp.float32)
+            y = acc.astype(jnp.float32) * (x_scale * w_scale) \
+                + jnp.concatenate([beta, beta])
+            y = apply_activation(y.astype(cd), step.act)
+            slots[step.out_slot] = y
+            continue
+
         out_dtype = cd if (train and cd != jnp.float32) else jnp.float32
         # f32 compute = the parity path: HIGHEST precision like
         # ops/conv.conv2d_raw (TPU default f32 conv is bf16-reduced)

@@ -412,3 +412,79 @@ def test_train_region_remat_matches():
             np.testing.assert_allclose(np.asarray(pa[key]),
                                        np.asarray(pb[key]),
                                        rtol=1e-5, atol=1e-6, err_msg=key)
+
+
+def test_int8_region_matches_per_layer_int8():
+    """Packed int8 region == per-layer conv_block_int8 chain, bit-exact.
+
+    With a static activation scale on every conv, each packed step
+    quantizes the same values (packing rearranges, adds only zeros), the
+    int32 accumulators sum the same products (integer addition is
+    associative), and the f32 dequant+bias epilogue is the same 3-op
+    chain — so the region output must equal the unpacked int8 path
+    exactly, not just approximately."""
+    g = build_graph(CSP_CFG)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=3))
+    # quantize EVERY conv (min_ch=1, heads too) so all region steps go int8
+    params = paramlib.quantize_conv_params(g, params, min_ch=1,
+                                           skip_heads=False)
+    x = np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    absmax = paramlib.calibrate_conv_input_scales(g, params, [x])
+    conv_idx = {i for i, l in enumerate(g.layers)
+                if l.kind == "convolutional"}
+    params = paramlib.apply_conv_input_scales(params, absmax, graph=g,
+                                              extra=conv_idx)
+    assert all("x_scale" in params[i] for i in conv_idx)
+
+    cd = jnp.bfloat16
+    ref = make_forward(g, fused_bn=True, fuse_regions=False,
+                       stem_s2d=False, compute_dtype=cd)(params, x)
+    got = make_forward(g, fused_bn=True, fuse_regions="xla",
+                       compute_dtype=cd)(params, x)
+    np.testing.assert_array_equal(np.asarray(got["heads"][0], np.float32),
+                                  np.asarray(ref["heads"][0], np.float32))
+
+
+def test_calibrate_int8_region_opt_in():
+    """Network.calibrate_int8: region_int8=True attaches x_scale to
+    region-covered convs minus head-feeding ones; default (False) leaves
+    only the quantized ("w_q") convs scaled."""
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.nn.emit import region_conv_indices
+
+    g = build_graph(CSP_CFG)
+    params = paramlib.fuse_conv_batchnorm(g, paramlib.init_params(g, seed=5))
+    params = paramlib.quantize_conv_params(g, params, min_ch=1)
+    rng = np.random.default_rng(1)
+    imgs = [rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)]
+
+    net = Network(g, [dict(p) for p in params], fused=True)
+    net.calibrate_int8(imgs)
+    scaled_default = {i for i, p in enumerate(net.params) if "x_scale" in p}
+    assert scaled_default == {i for i, p in enumerate(params) if "w_q" in p}
+
+    net2 = Network(g, [dict(p) for p in params], fused=True)
+    net2.calibrate_int8(imgs, region_int8=True)
+    scaled = {i for i, p in enumerate(net2.params) if "x_scale" in p}
+    covered = region_conv_indices(g, fused_bn=True)
+    head_in = {l.index - 1 for l in g.layers
+               if l.kind in ("yolo", "gaussian_yolo", "detection")}
+    assert (covered - head_in) <= scaled
+    # quantize_conv_params skips head convs (skip_heads default), so no
+    # head-feeding conv may carry a scale through either route
+    assert not (scaled & head_in)
+
+
+def test_int8_region_head_conv_stays_fp():
+    """Network.calibrate_int8 must not attach scales to head-feeding convs
+    even when a region covers them (CSP_CFG's region runs through the head
+    1x1 conv)."""
+    from darknet_tpu.nn.emit import region_conv_indices
+
+    g = build_graph(CSP_CFG)
+    covered = region_conv_indices(g, fused_bn=True)
+    assert 11 in covered          # the head conv IS region-covered
+    head_in = {l.index - 1 for l in g.layers
+               if l.kind in ("yolo", "gaussian_yolo", "detection")}
+    assert 11 in head_in          # ...and is a head input: must be excluded
