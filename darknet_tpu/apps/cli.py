@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(the cuda_dbg_sync analogue, utils/debug.py)")
     p.add_argument("-num_chips", "--num_chips", "-num_gpus", "--num_gpus",
                    type=int, default=1, dest="num_chips")
+    p.add_argument("-loader_processes", "--loader_processes", type=int,
+                   default=-1,
+                   help="data-loader process workers (spawn pool); -1 = "
+                   "auto (processes on multi-core hosts, threads on 1-2 "
+                   "cores), 0 = thread pool (reference's 6-pthread model)")
     p.add_argument("-geo_info_file", "--geo_info_file", default="")
     p.add_argument("-out_dir", "--out_dir", default="output")
     p.add_argument("-letter_box", "--letter_box", action="store_true",
@@ -246,7 +251,8 @@ def mode_train(args):
         save_dir=md.backup_dir,
         save_name=os.path.splitext(os.path.basename(args.model_file))[0],
         metrics_path=args.metrics_file or None,
-        show_imgs=3 if args.show_imgs else 0, remat=args.remat)
+        show_imgs=3 if args.show_imgs else 0, remat=args.remat,
+        loader_processes=args.loader_processes)
     trainer.train()
 
 

@@ -109,17 +109,23 @@ def image_data_augmentation(img: np.ndarray, w: int, h: int, pleft, ptop,
     if pleft == 0 and ptop == 0 and (swidth, sheight) == (iw, ih):
         sized = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
     else:
-        mean = img.reshape(-1, img.shape[2]).mean(0)
-        cropped = np.empty((sheight, swidth, img.shape[2]), img.dtype)
-        cropped[:] = mean
+        # mean-fill pad + crop via cv2 (C++, releases the GIL — the numpy
+        # mean/fill/copy versions serialized the loader's worker threads;
+        # cv2.mean accumulates in double, == np.float64 mean cast to f32)
+        mean = cv2.mean(img)[:img.shape[2]]
         # src/dst rect intersection
         sx0, sy0 = max(pleft, 0), max(ptop, 0)
         sx1 = min(pleft + swidth, iw)
         sy1 = min(ptop + sheight, ih)
         if sx1 > sx0 and sy1 > sy0:
             dx0, dy0 = max(0, -pleft), max(0, -ptop)
-            cropped[dy0:dy0 + (sy1 - sy0), dx0:dx0 + (sx1 - sx0)] = \
-                img[sy0:sy1, sx0:sx1]
+            cropped = cv2.copyMakeBorder(
+                img[sy0:sy1, sx0:sx1], dy0, sheight - dy0 - (sy1 - sy0),
+                dx0, swidth - dx0 - (sx1 - sx0),
+                cv2.BORDER_CONSTANT, value=mean)
+        else:
+            cropped = np.empty((sheight, swidth, img.shape[2]), img.dtype)
+            cropped[:] = np.asarray(mean, img.dtype)
         sized = cv2.resize(cropped, (w, h), interpolation=cv2.INTER_LINEAR)
 
     if flip:

@@ -2,15 +2,27 @@
 
 Mirrors the reference's permanent worker pool + double buffer
 (`data.cpp:723-837`, `detector.cpp:185-189`): a `DetectionLoader` keeps a
-persistent thread pool producing batches ahead of the trainer; `next()`
+persistent worker pool producing batches ahead of the trainer; `next()`
 hands over the ready batch and immediately kicks off the next one.  Mosaic
 (4-image cut) and mixup (50/50 blend) are composed here, replicating the
 `i_mixup` outer loop of `load_data_detection` (data.cpp:462-676).
+
+Worker modes: the default thread pool matches the reference's
+6-pthreads-per-GPU design, but Python threads serialize on the GIL for
+the numpy parts of the augmentation — measured 20 img/s of 608 mosaic
+on this box, BELOW the 70 img/s one-chip training rate.  `processes=N`
+switches the per-sample stage to a spawn-based process pool (same seeds,
+same batches bit-for-bit — `_sample` is a pure function of (paths, seed,
+dims, aug config)); batch assembly (mosaic/mixup composition) stays in
+the single assembler thread.  Spawned workers import only numpy+cv2,
+never jax — spawning (not forking) avoids deadlocking the parent's TPU
+runtime threads.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as cf
+import multiprocessing as mp
 import os
 import threading
 
@@ -19,12 +31,39 @@ import numpy as np
 from darknet_tpu.data.augment import (blend_truth, blend_truth_mosaic,
                                       load_detection_sample)
 
+# ---- process-worker plumbing (module-level: must pickle by reference) ----
+_WCFG: dict = {}
+
+
+def _init_worker(cfg):
+    _WCFG.update(cfg)
+
+
+def _worker_sample(seed, w, h):
+    """Per-sample stage in a worker process: identical body to
+    DetectionLoader._sample, reading config from the initializer."""
+    rng = np.random.default_rng(seed)
+    path = _WCFG["paths"][rng.integers(0, len(_WCFG["paths"]))]
+    try:
+        return load_detection_sample(
+            path, w, h, _WCFG["boxes"], _WCFG["classes"], rng=rng,
+            **_WCFG["aug"])
+    except Exception:
+        try:
+            with open(os.path.join(_WCFG["bad_dir"], "bad.list"), "a") as f:
+                f.write(path + "\n")
+        except OSError:
+            pass
+        return (np.zeros((h, w, 3), np.float32),
+                np.zeros((_WCFG["boxes"], 5), np.float32), {})
+
 
 class DetectionLoader:
     def __init__(self, paths, *, w, h, batch, boxes=90, classes=80,
                  jitter=0.3, hue=0.1, saturation=1.5, exposure=1.5,
                  flip=True, blur=0, gaussian_noise=0, mixup=0,
-                 threads=6, seed=0, show_imgs=0, show_imgs_dir="."):
+                 threads=6, processes=0, seed=0, show_imgs=0,
+                 show_imgs_dir="."):
         # cutmix: the reference refuses it for detection training
         # (data.cpp:428-432 prints and exits); mosaic+cutmix degrades to
         # plain mosaic with a warning
@@ -53,7 +92,20 @@ class DetectionLoader:
                         use_gaussian_noise=gaussian_noise)
         self.mixup = mixup           # 0=off, 1=mixup, 3=mosaic (net.mixup)
         self.rng = np.random.default_rng(seed)
-        self.pool = cf.ThreadPoolExecutor(max_workers=threads)
+        if processes:
+            self.pool = cf.ProcessPoolExecutor(
+                max_workers=processes,
+                mp_context=mp.get_context("spawn"),
+                initializer=_init_worker,
+                initargs=({"paths": self.paths, "boxes": boxes,
+                           "classes": classes, "aug": self.aug,
+                           "bad_dir": show_imgs_dir},))
+            self._submit = lambda seed, w, h: self.pool.submit(
+                _worker_sample, seed, w, h)
+        else:
+            self.pool = cf.ThreadPoolExecutor(max_workers=threads)
+            self._submit = lambda seed, w, h: self.pool.submit(
+                self._sample, seed, w, h)
         # the batch assembler blocks on sample futures, so it must NOT share
         # the sample pool (self-starvation deadlock at small pool sizes)
         self._assembler = cf.ThreadPoolExecutor(max_workers=1)
@@ -105,8 +157,7 @@ class DetectionLoader:
                                  self.batch)
 
         for quad in range(n_draws):
-            futures = [self.pool.submit(self._sample, int(seeds[quad, i]),
-                                        w, h)
+            futures = [self._submit(int(seeds[quad, i]), w, h)
                        for i in range(self.batch)]
             for i, fut in enumerate(futures):
                 img, truth, meta = fut.result()

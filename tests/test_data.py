@@ -151,6 +151,26 @@ def test_loader_deterministic_across_thread_counts(dataset):
         b.close()
 
 
+def test_loader_process_workers_identical(dataset):
+    """processes=N (spawn-based pool for multi-core hosts — Python threads
+    serialize the numpy augmentation on the GIL) must produce bit-identical
+    batches to the thread pool: _sample is a pure function of
+    (paths, seed, dims, aug config)."""
+    a = DetectionLoader(dataset, w=64, h=64, batch=3, boxes=8, classes=3,
+                        threads=2, seed=42, mixup=3)
+    b = DetectionLoader(dataset, w=64, h=64, batch=3, boxes=8, classes=3,
+                        processes=2, seed=42, mixup=3)
+    try:
+        for _ in range(2):
+            xa, ya = a.next()
+            xb, yb = b.next()
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+    finally:
+        a.close()
+        b.close()
+
+
 def test_hue_shift_scale(dataset):
     """Hue augmentation must shift by a full-scale fraction of dhue
     (reference: 179*dhue on 0..179 hue; float cv2 path: 360*dhue)."""
