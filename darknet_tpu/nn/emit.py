@@ -155,8 +155,12 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
 
             region_plan = plan_region(graph, 2)
 
-    def forward(params, x, rng=None):
-        outs: dict[int, jnp.ndarray] = {}
+    def forward(params, x, rng=None, *, _lo=0, _hi=None, _extern=None):
+        """_lo/_hi/_extern: pipeline-stage slicing (parallel/pipeline.py) —
+        emit only layers [_lo, _hi), with `x` as layer _lo's input and
+        `_extern` seeding the cross-stage live outputs.  Inference only
+        (the dropout rng split is counted over the whole net)."""
+        outs: dict[int, jnp.ndarray] = dict(_extern or {})
         bn_stats: dict[int, tuple] = {}
         conv_absmax: dict[int, jnp.ndarray] = {}
         heads: list = []
@@ -169,7 +173,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         drop_i = 0
 
         start = 0
-        if stem_s2d:
+        if stem_s2d and _lo == 0:
             cur = fused_stem(cur, params[0], params[1], layers[0],
                              layers[1], compute_dtype=compute_dtype)
             if 1 in live:
@@ -181,8 +185,10 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 if (start - 1) in live:
                     outs[start - 1] = cur
 
-        skip_until = start
+        skip_until = max(start, _lo)
         for i, l in enumerate(layers):
+            if _hi is not None and i >= _hi:
+                break
             if i < skip_until:
                 continue
             if i in region_runners:
@@ -336,6 +342,11 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     outs[i] = cur
 
         result = {"heads": heads, "output": cur}
+        if _lo or _hi is not None:
+            # pipeline-stage mode: expose the live outputs so the driver
+            # can forward the cross-stage set (callers jitting the plain
+            # forward must not materialize every live tensor)
+            result["outs"] = outs
         if train:
             result["bn_stats"] = bn_stats
             result["raw_heads"] = raw_heads
