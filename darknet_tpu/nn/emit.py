@@ -158,8 +158,10 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
     def forward(params, x, rng=None, *, _lo=0, _hi=None, _extern=None):
         """_lo/_hi/_extern: pipeline-stage slicing (parallel/pipeline.py) —
         emit only layers [_lo, _hi), with `x` as layer _lo's input and
-        `_extern` seeding the cross-stage live outputs.  Inference only
-        (the dropout rng split is counted over the whole net)."""
+        `_extern` seeding the cross-stage live outputs.  The dropout/crop
+        rng split is counted over the WHOLE net (drop_i starts at the
+        number of consumers below _lo), so a stage draws the same masks
+        as the corresponding span of the unsliced program."""
         outs: dict[int, jnp.ndarray] = dict(_extern or {})
         bn_stats: dict[int, tuple] = {}
         conv_absmax: dict[int, jnp.ndarray] = {}
@@ -170,7 +172,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             drop_rngs = list(jax.random.split(rng, n_dropout))
         else:
             drop_rngs = []
-        drop_i = 0
+        drop_i = sum(1 for l in layers[:_lo]
+                     if l.kind in ("dropout", "crop")) if _lo else 0
 
         start = 0
         if stem_s2d and _lo == 0:

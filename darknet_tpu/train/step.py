@@ -29,6 +29,47 @@ from darknet_tpu.train import optimizer as opt
 from darknet_tpu.train.yolo_loss import yolo_head_delta
 
 
+def head_delta(raw, truths, l, net, rng, hi):
+    """Delta (gradient-ascent cotangent of the RAW head output), scalar
+    cost and metrics dict for ONE trainable head.  `hi` is the head's
+    GLOBAL index over the whole graph (the detection head folds it into
+    its rng stream), so pipeline stages computing a subset of heads draw
+    the same randomness as the unsliced step."""
+    if l.kind == "gaussian_yolo":
+        from darknet_tpu.train.gaussian_yolo_loss import \
+            gaussian_yolo_head_delta
+
+        return gaussian_yolo_head_delta(
+            raw.astype(jnp.float32), truths, l, net.w, net.h)
+    if l.kind == "yolo":
+        return yolo_head_delta(raw.astype(jnp.float32), truths, l,
+                               net.w, net.h)
+    if l.kind == "detection":
+        from darknet_tpu.ops.detection_v1 import (detection_head_delta,
+                                                  encode_v1_truth_batch)
+
+        grid = encode_v1_truth_batch(truths, l)
+        flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
+        d, c, m = detection_head_delta(
+            flat, grid, l,
+            rng_best=jax.random.fold_in(rng, 7 + hi)
+            if rng is not None else None)
+        d = d.reshape(raw.shape)
+        m = dict(m, class_loss=jnp.float32(0), iou_loss=jnp.float32(0))
+        return d, c, m
+    # cost layer: truths IS the flat target (B, inputs)
+    from darknet_tpu.ops.detection_v1 import cost_layer
+
+    flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
+    tgt = truths.reshape(truths.shape[0], -1).astype(jnp.float32)
+    c, d = cost_layer(flat, tgt, l.cost_type, l.ratio)
+    d = (d * l.cost_scale).reshape(raw.shape)
+    zero = jnp.float32(0)
+    m = {"loss": c / flat.shape[0], "avg_iou": zero,
+         "count": zero, "class_loss": zero, "iou_loss": zero}
+    return d, c, m
+
+
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
                     remat: bool | str = False, accum: int = 1):
@@ -69,38 +110,7 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
 
         deltas, costs, metrics_list = [], [], []
         for hi, (raw, l) in enumerate(zip(raw_heads, heads)):
-            if l.kind == "gaussian_yolo":
-                from darknet_tpu.train.gaussian_yolo_loss import \
-                    gaussian_yolo_head_delta
-
-                d, c, m = gaussian_yolo_head_delta(
-                    raw.astype(jnp.float32), truths, l, net.w, net.h)
-            elif l.kind == "yolo":
-                d, c, m = yolo_head_delta(raw.astype(jnp.float32), truths, l,
-                                          net.w, net.h)
-            elif l.kind == "detection":
-                from darknet_tpu.ops.detection_v1 import (
-                    detection_head_delta, encode_v1_truth_batch)
-
-                grid = encode_v1_truth_batch(truths, l)
-                flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
-                d, c, m = detection_head_delta(
-                    flat, grid, l,
-                    rng_best=jax.random.fold_in(rng, 7 + hi)
-                    if rng is not None else None)
-                d = d.reshape(raw.shape)
-                m = dict(m, class_loss=jnp.float32(0),
-                         iou_loss=jnp.float32(0))
-            else:  # cost layer: truths IS the flat target (B, inputs)
-                from darknet_tpu.ops.detection_v1 import cost_layer
-
-                flat = raw.reshape(raw.shape[0], -1).astype(jnp.float32)
-                tgt = truths.reshape(truths.shape[0], -1).astype(jnp.float32)
-                c, d = cost_layer(flat, tgt, l.cost_type, l.ratio)
-                d = (d * l.cost_scale).reshape(raw.shape)
-                zero = jnp.float32(0)
-                m = {"loss": c / flat.shape[0], "avg_iou": zero,
-                     "count": zero, "class_loss": zero, "iou_loss": zero}
+            d, c, m = head_delta(raw, truths, l, net, rng, hi)
             deltas.append(d.astype(raw.dtype) * loss_scale)
             costs.append(c)
             metrics_list.append(m)
