@@ -93,18 +93,18 @@ def int8_matmul(a_q, b_q, w_scales, bias, x_scale, *, leaky: bool = False,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, k), lambda i, j: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((k, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         interpret=interpret,

@@ -172,9 +172,17 @@ def test_train_ab_vs_reference(harness, tmp_path):
     # 2. A/B agreement (measured diff 0.035 at 1000 iters; tolerance
     #    covers loader-scheduling + augmentation RNG variance)
     assert abs(our_map - ref_map) < 0.15, (our_map, ref_map)
-    # 3. loss curves collapse on both sides
-    assert np.mean(ref_losses[-50:]) < 0.1 * np.mean(ref_losses[:50])
-    assert np.mean(our_losses[-50:]) < 0.1 * np.mean(our_losses[:50])
+    # 3. loss curves collapse on both sides.  Compare the converged tail
+    #    to the INITIAL loss level (first 10 iters, ~130-146 on this
+    #    data): with burn_in=20 the loss falls to single digits within
+    #    ~30 iters, so a first-50 window is already mostly converged and
+    #    a tail-vs-first-50 ratio gate flakes on batch-to-batch noise
+    #    while every mAP gate passes (observed: 3.07 vs 6.40 median).
+    #    Tail/initial is ~0.02 measured — gate at 0.2 (10x margin).
+    assert np.median(ref_losses[-50:]) < 0.2 * np.median(ref_losses[:10]), \
+        (np.median(ref_losses[-50:]), np.median(ref_losses[:10]))
+    assert np.median(our_losses[-50:]) < 0.2 * np.median(our_losses[:10]), \
+        (np.median(our_losses[-50:]), np.median(our_losses[:10]))
     # 4. our valid pipeline agrees with the binary's verdict on the same
     #    weights (tie-heavy trained score distributions)
     assert abs(our_map_self - our_map) < 0.02, (our_map_self, our_map)
