@@ -15,10 +15,68 @@ keeps `indexes` for its hand-written backward).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from darknet_tpu.ops.conv import antialias_blur
+
+
+# ------------------------------------------------------- stride-1 maxpool
+# The SPP block's 5/9/13 stride-1 pools dominate training-time pooling
+# cost: autodiff of a max chain (or reduce_window) lowers the backward to
+# select-and-scatter / pad+add chains that run pathologically slowly on
+# TPU (trace-measured 21 ms of a 214 ms yolov4-608 b16 step).  Custom VJP:
+# forward is one reduce_window pass; backward distributes each window's
+# cotangent to the positions equal to the window max via size^2 shifted
+# fused multiply-adds — no scatter.  Gradient equals the reference's
+# (maxpool_layer.cpp backward: route to argmax) whenever the window max is
+# unique, which holds w.p. 1 on conv outputs; on exact ties every tied
+# position receives the full cotangent (the reference picks the first —
+# ties are measure-zero and PARITY.md documents the deviation).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _maxpool_s1(x, size, lo, hi_h, hi_w):
+    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+    return lax.reduce_window(
+        x, neg_inf, lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))
+
+
+def _maxpool_s1_fwd(x, size, lo, hi_h, hi_w):
+    y = _maxpool_s1(x, size, lo, hi_h, hi_w)
+    return y, (x, y)
+
+
+def _maxpool_s1_bwd(size, lo, hi_h, hi_w, res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    # window a covers padded rows a..a+size-1; input row i (= padded row
+    # i+lo) is in windows a = i+lo-oy, oy in [0, size).  Pad g and y so
+    # every (i, oy) lands in-range: padded index i + (size-1-oy).
+    top = size - 1 - lo
+    bot = h + lo - y.shape[1]
+    left = size - 1 - lo
+    right = w + lo - y.shape[2]
+    gp = jnp.pad(g, ((0, 0), (top, bot), (left, right), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (top, bot), (left, right), (0, 0)))
+    dx = jnp.zeros_like(x)
+    for oy in range(size):
+        for ox in range(size):
+            i0, j0 = size - 1 - oy, size - 1 - ox
+            ys = lax.slice(yp, (0, i0, j0, 0), (b, i0 + h, j0 + w, c))
+            gs = lax.slice(gp, (0, i0, j0, 0), (b, i0 + h, j0 + w, c))
+            # padded y is 0 where no window exists; gs is 0 there too, so
+            # a spurious x==0 match contributes nothing
+            dx = dx + gs * (x == ys).astype(g.dtype)
+    return (dx,)
+
+
+_maxpool_s1.defvjp(_maxpool_s1_fwd, _maxpool_s1_bwd)
 
 
 def maxpool(x, l, train: bool = False):
@@ -51,8 +109,13 @@ def maxpool(x, l, train: bool = False):
             window_strides=(1, l.stride_y, l.stride_x, 1),
             padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
         )
-    # training: max over size^2 shifted strided slices — same result,
-    # reverse-mode differentiable (reduce_window has no VJP here)
+    if (l.stride_y == 1 and l.stride_x == 1
+            and x.shape[1] + lo >= l.out_h and x.shape[2] + lo >= l.out_w):
+        # SPP-style stride-1 pool: custom VJP (scatter-free backward)
+        return _maxpool_s1(x, l.size, lo, hi_h, hi_w)
+    # strided training pools (2x2 in the tiny models): max over size^2
+    # shifted strided slices — same result, reverse-mode differentiable
+    # (reduce_window has no VJP here) and cheap at size 2
     xp = jnp.pad(x, ((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
                  constant_values=-jnp.inf)
     out = None

@@ -153,11 +153,13 @@ def gaussian_yolo_head_delta(raw, truths, l, net_w: int, net_h: int):
     delta_flat = delta.reshape(b, h, w, A * e)
 
     # loss components (gaussian_yolo_layer.cpp:775-840)
-    nobox = delta.at[..., 0:8].set(0.0)
-    class_loss = jnp.sum(jnp.square(nobox))
-    no_uc = delta.at[..., 4:8].set(0.0)      # quirk: zeroes muw/sigw/muh/sigh
-    except_uc_loss = jnp.sum(jnp.square(no_uc))
-    full = jnp.sum(jnp.square(delta))
+    # channel-range sums of squares via slice+reduce (no zeroed full-tensor
+    # copies): class_loss excludes [0:8]; except_uc excludes the
+    # muw/sigw/muh/sigh quirk range [4:8] (gaussian_yolo_layer.cpp:775-840)
+    class_loss = jnp.sum(jnp.square(delta[..., 8:]))
+    sq_0_4 = jnp.sum(jnp.square(delta[..., 0:4]))
+    except_uc_loss = sq_0_4 + class_loss
+    full = sq_0_4 + jnp.sum(jnp.square(delta[..., 4:8])) + class_loss
     cost = full
 
     metrics = {

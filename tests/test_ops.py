@@ -4,6 +4,7 @@ reference semantics (formulas cited in SURVEY.md §2.2/§2.3)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from darknet_tpu.graph.builder import build_graph
@@ -146,6 +147,67 @@ def test_maxpool_matches_reference(rng, size, stride, pad):
     want = _maxpool_ref(x, size, stride, pad)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("size,pad,hw", [
+    (5, 4, 9), (9, 8, 9), (13, 12, 19),   # SPP pools (stride 1)
+    (3, 2, 9),
+])
+def test_maxpool_s1_train_grad_matches_argmax(rng, size, pad, hw):
+    """The custom stride-1 VJP (scatter-free, ops/pooling.py) must route
+    each window's cotangent to its argmax — the reference backward
+    (maxpool_layer.cpp: gradient to the recorded max index)."""
+    x = rng.normal(size=(2, hw, hw, 4)).astype(np.float32)
+
+    class L:
+        pass
+
+    l = L()
+    l.size, l.stride_x, l.stride_y, l.pad = size, 1, 1, pad
+    l.h = l.w = hw
+    l.maxpool_depth = False
+    l.antialiasing = 0
+    l.out_h = l.out_w = hw + pad - size + 1
+    g = rng.normal(size=(2, l.out_h, l.out_w, 4)).astype(np.float32)
+
+    def f(x):
+        return jnp.sum(maxpool(x, l, train=True) * g)
+
+    got = np.asarray(jax.grad(f)(jnp.asarray(x)))
+
+    # argmax reference: route each window's g to the max position
+    lo = pad // 2
+    want = np.zeros_like(x)
+    for i in range(l.out_h):
+        for j in range(l.out_w):
+            for b in range(2):
+                for c in range(4):
+                    best, bi, bj = -np.inf, -1, -1
+                    for n in range(size):
+                        for m in range(size):
+                            ch, cw = i - lo + n, j - lo + m
+                            if 0 <= ch < hw and 0 <= cw < hw and \
+                                    x[b, ch, cw, c] > best:
+                                best, bi, bj = x[b, ch, cw, c], ch, cw
+                    want[b, bi, bj, c] += g[b, i, j, c]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_maxpool_s1_train_forward_matches_infer(rng):
+    x = rng.normal(size=(2, 19, 19, 8)).astype(np.float32)
+
+    class L:
+        pass
+
+    l = L()
+    l.size, l.stride_x, l.stride_y, l.pad = 13, 1, 1, 12
+    l.h = l.w = 19
+    l.maxpool_depth = False
+    l.antialiasing = 0
+    l.out_h = l.out_w = 19
+    got = np.asarray(maxpool(jnp.asarray(x), l, train=True))
+    want = np.asarray(maxpool(jnp.asarray(x), l, train=False))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_maxpool_depth(rng):
