@@ -86,7 +86,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  remat: bool | str = False,
                  fuse_regions: bool | None = None,
                  region_interpret: bool = False,
-                 probe_conv_absmax: bool = False):
+                 probe_conv_absmax: bool = False,
+                 stem_train: bool | None = None):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -118,6 +119,24 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
 
         stem_s2d = stem_pattern(graph) and 0 not in live
 
+    # training-mode packed stem (ops/stem.fused_stem_train): the same S2D
+    # algebra with LIVE batch norm in the packed layout — the layout fix
+    # for the opening C=3 conv in training (trace-measured 30 ms of a
+    # 214 ms yolov4-608 b16 step: C=3 starves the MXU and the lane-padded
+    # 608²x32 tensor plus its remat duplicate dominate HBM traffic).
+    # TPU-only by default so CPU golden gates stay byte-stable; tests
+    # force it on to prove exactness against the per-layer path.
+    if stem_train is None:
+        stem_train = train and jax.default_backend() == "tpu"
+    if stem_train:
+        from darknet_tpu.ops.stem import stem_pattern
+
+        stem_train = (train and not probe_conv_absmax
+                      and stem_pattern(graph) and 0 not in live
+                      and not any(l.stopbackward or l.onlyforward
+                                  or l.train_only_bn
+                                  for l in layers[:2]))
+
     # fused-region Pallas kernels (ops/pallas/fused_region.py): whole
     # lane-starved CSP stages (incl. the s2d stem) run as single kernels —
     # one HBM read + one write per stage.  Inference + folded BN only.
@@ -131,7 +150,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                                                          region_runner)
 
         mode = fuse_regions if isinstance(fuse_regions, str) else "xla"
-        region_plans = plan_graph_regions(graph, stem=stem_s2d, train=train)
+        region_plans = plan_graph_regions(graph, stem=stem_s2d, train=train,
+                                          first=2 if stem_train else 0)
         if 0 in region_plans:
             stem_s2d = False        # superseded by the stem region kernel
         region_runners = {
@@ -187,6 +207,20 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                                         outs, compute_dtype=compute_dtype)
                 if (start - 1) in live:
                     outs[start - 1] = cur
+        elif stem_train and _lo == 0 and (_hi is None or _hi >= 2):
+            from darknet_tpu.ops.stem import fused_stem_train
+
+            with jax.named_scope("L000-001_stem"):
+                stem_fn = lambda x, p0, p1: fused_stem_train(
+                    x, p0, p1, layers[0], layers[1],
+                    compute_dtype=compute_dtype)
+                if remat:
+                    stem_fn = jax.checkpoint(stem_fn)
+                cur, st01 = stem_fn(cur, params[0], params[1])
+                bn_stats.update(st01)
+            if 1 in live:
+                outs[1] = cur
+            start = 2
 
         skip_until = max(start, _lo)
         for i, l in enumerate(layers):

@@ -576,18 +576,21 @@ def make_stem_steps(graph):
     return [s0, s1], c_in
 
 
-def plan_graph_regions(graph, *, stem: bool = False, train: bool = False):
+def plan_graph_regions(graph, *, stem: bool = False, train: bool = False,
+                       first: int = 0):
     """Scan the graph for fusable regions.  Returns {start_layer: plan};
     a stem plan's start is 0 (it consumes the net input).
 
     train=True plans training regions: BN runs inside the packed layout,
     gradient-gate layers break regions, and the s2d stem fold is skipped
-    (it presumes folded BN)."""
+    (it presumes folded BN).  `first` skips layers below it — the emitter
+    passes 2 when the train-mode packed stem (fused_stem_train) already
+    consumes layers 0-1."""
     from darknet_tpu.ops.stem import stem_pattern
 
     layers = graph.layers
     plans = {}
-    i = 0
+    i = first
     if stem and not train and stem_pattern(graph) and len(layers) > 2:
         stem_steps, in_c = make_stem_steps(graph)
         p = _plan_region(graph, 2, stem_steps=stem_steps, in_c=in_c)

@@ -20,8 +20,12 @@ MXU-aligned, and the 608^2 x 32 tensor never exists.  Activation (mish/
 leaky) and biases apply to the packed tensor unchanged (elementwise).
 
 Applies to the FUSED inference path when the graph opens with the
-(conv s1 3x3) -> (conv s2 3x3) pattern; training keeps the reference
-formulation.
+(conv s1 3x3) -> (conv s2 3x3) pattern.  `fused_stem_train` extends the
+same algebra to training: batch norm runs live INSIDE the packed layout —
+packed phase channel (py*2+px)*N + n holds conv-output channel n at pixel
+phase (py, px), so per-channel statistics over (B, H/2, W/2, 4 phases)
+equal the unpacked statistics over (B, H, W) exactly (same count, same
+Bessel correction; only the summation order differs).
 """
 
 from __future__ import annotations
@@ -137,3 +141,68 @@ def fused_stem(x, p0, p1, l0, l1, *, compute_dtype=None):
         y1 = y1.astype(cd)
     y1 = apply_activation(y1, l1.activation)
     return y1
+
+
+def _packed_bn(y, p, phases: int):
+    """Live batch norm on a phase-packed tensor (channel = phase*N + n).
+
+    Statistics per logical channel n pool over (B, H, W, phases) — exactly
+    the unpacked (B, 2H, 2W) statistics of mean_cpu/variance_cpu
+    (blas.c:164-201), Bessel 1/(N-1) included.  Returns (y_norm, stats)."""
+    b, h, w, c = y.shape
+    n = c // phases
+    y4 = y.reshape(b, h, w, phases, n)
+    cnt = b * h * w * phases
+    mean = jnp.mean(y4, axis=(0, 1, 2, 3))
+    sq = jnp.sum(jnp.square(y4 - mean), axis=(0, 1, 2, 3))
+    var = sq / max(cnt - 1, 1)
+    from darknet_tpu.ops.conv import BN_EPS
+    inv_std = lax.rsqrt(var + BN_EPS)
+    scales = jnp.asarray(p["scales"], jnp.float32)
+    beta = jnp.asarray(p["b"], jnp.float32)
+    y4 = (y4 - mean) * inv_std * scales + beta
+    return y4.reshape(b, h, w, c), (mean, var)
+
+
+def fused_stem_train(x, p0, p1, l0, l1, *, compute_dtype=None):
+    """Training-mode packed stem: layers 0 and 1 in S2D form with LIVE
+    batch norm (unfused params), following conv_block's mixed-precision
+    conventions (conv emits compute_dtype, BN/bias epilogue in f32, output
+    stays f32 in train).  The (B, 608², 32) tensor never exists in the
+    forward OR the backward — its dW contraction happens at H/2 on
+    MXU-aligned channel counts.
+
+    Returns (y1, bn_stats) with bn_stats = {0: (mean, var), 1: ...} for
+    the batch-normalized layers, keyed for the trainer's rolling update
+    (forward_batchnorm_layer train path, batchnorm_layer.c)."""
+    precision = None if compute_dtype is not None else lax.Precision.HIGHEST
+    cd = compute_dtype or jnp.float32
+    out_dtype = cd if compute_dtype is not None else jnp.float32
+
+    w0p = pack_w0(jnp.asarray(p0["w"])).astype(cd)
+    w1p = pack_w1(jnp.asarray(p1["w"])).astype(cd)
+    bn_stats = {}
+
+    xs = space_to_depth(x).astype(cd)
+    y0 = lax.conv_general_dilated(
+        xs, w0p, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision, preferred_element_type=out_dtype)
+    y0 = y0.astype(jnp.float32)
+    if l0.batch_normalize and "scales" in p0:
+        y0, bn_stats[0] = _packed_bn(y0, p0, 4)
+    else:
+        y0 = y0 + jnp.tile(jnp.asarray(p0["b"], jnp.float32), 4)
+    y0 = apply_activation(y0, l0.activation)
+
+    y1 = lax.conv_general_dilated(
+        y0.astype(cd), w1p, (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision, preferred_element_type=out_dtype)
+    y1 = y1.astype(jnp.float32)
+    if l1.batch_normalize and "scales" in p1:
+        y1, bn_stats[1] = _packed_bn(y1, p1, 1)
+    else:
+        y1 = y1 + jnp.asarray(p1["b"], jnp.float32)
+    y1 = apply_activation(y1, l1.activation)
+    return y1, bn_stats

@@ -149,7 +149,8 @@ def make_tp_forward(graph, mesh, *, axis: str = "tp",
 def make_tp_train_step(graph, mesh, *, axis: str = "tp",
                        dp_axis: str | None = "dp",
                        sp_axis: str | None = None,
-                       accum: int = 1, compute_dtype=None):
+                       accum: int = 1, compute_dtype=None,
+                       stem_train: bool | None = None):
     """One jitted training step with filters+grads+opt slots sharded over
     `axis`, the batch over `dp_axis`, and optionally the image height
     over `sp_axis` (3D dp x sp x tp composition).  The emitted step is
@@ -160,7 +161,8 @@ def make_tp_train_step(graph, mesh, *, axis: str = "tp",
     from darknet_tpu.train.step import make_train_step
 
     inner = make_train_step(graph, jit=False, accum=accum,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            stem_train=stem_train)
     rep = NamedSharding(mesh, P())
     dp = dp_axis if (dp_axis and dp_axis in mesh.shape) else None
     sp = sp_axis if (sp_axis and sp_axis in mesh.shape) else None

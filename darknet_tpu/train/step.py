@@ -72,7 +72,8 @@ def head_delta(raw, truths, l, net, rng, hi):
 
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
-                    remat: bool | str = False, accum: int = 1):
+                    remat: bool | str = False, accum: int = 1,
+                    stem_train: bool | None = None):
     """Build `train_step(params, opt_state, x, truths, rng, lr)`.
 
     x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).
@@ -92,7 +93,7 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     if use_adam is None:
         use_adam = net.adam
     fwd = make_forward(graph, train=True, compute_dtype=compute_dtype,
-                       remat=remat)
+                       remat=remat, stem_train=stem_train)
     # every trainable head kind, in layer order (= raw_heads order):
     # yolo/gaussian_yolo (v3/v4), detection (v1), cost (classifier era)
     heads = [l for l in graph.layers
