@@ -87,7 +87,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fuse_regions: bool | None = None,
                  region_interpret: bool = False,
                  probe_conv_absmax: bool = False,
-                 stem_train: bool | None = None):
+                 stem_train: bool | None = None,
+                 train_act_dtype=None):
     """Build `forward(params, x, rng=None) -> dict`.
 
     Returns a dict with:
@@ -158,7 +159,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             a: region_runner(p,
                              compute_dtype=compute_dtype or jnp.float32,
                              interpret=region_interpret, mode=mode,
-                             train=train)
+                             train=train,
+                             act_dtype=train_act_dtype if train else None)
             for a, p in region_plans.items()}
     region_plan = None
     if stem_s2d:

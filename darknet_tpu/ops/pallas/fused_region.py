@@ -780,7 +780,8 @@ def build_region_call(plan: RegionPlan, batch: int, *,
 
 
 def run_region_xla(plan: RegionPlan, params, x, *,
-                   compute_dtype=jnp.bfloat16, train: bool = False):
+                   compute_dtype=jnp.bfloat16, train: bool = False,
+                   act_dtype=None):
     """Execute the region as p2-packed XLA convs instead of one Pallas
     kernel.
 
@@ -818,17 +819,29 @@ def run_region_xla(plan: RegionPlan, params, x, *,
         xp = xp.astype(cd)
 
     slots = {IN_SLOT: xp}
-    bn_stats = _run_steps_xla(params, slots, plan.steps, cd, train=train)
+    bn_stats = _run_steps_xla(params, slots, plan.steps, cd, train=train,
+                              act_dtype=act_dtype)
     out = slots[plan.out_slot]
     out = out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
     if train:
+        if act_dtype is not None:
+            # interior ran reduced-precision; hand the rest of the net the
+            # f32 convention it expects (the cast is epilogue-fused)
+            out = out.astype(jnp.float32)
         return out, bn_stats
     return out
 
 
-def _run_steps_xla(params, slots, steps, cd, *, train: bool = False):
+def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
+                   act_dtype=None):
     """Execute region steps as packed XLA convs, updating `slots` in
-    place.  Returns bn_stats ({out_slot: (mean, var)}, train only)."""
+    place.  Returns bn_stats ({out_slot: (mean, var)}, train only).
+
+    act_dtype (train only): dtype the interior slot tensors carry between
+    steps.  Default None keeps the f32 convention (conv -> f32 epilogue ->
+    f32 slot); bfloat16 halves the region's HBM traffic in BOTH passes —
+    the interior activations are vjp residuals (304²/152² tensors at 608)
+    — while BN statistics stay f32 (computed before the cast)."""
     from jax import lax
 
     from darknet_tpu.ops.activations import apply_activation
@@ -925,6 +938,8 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False):
         if not train:
             y = y.astype(cd)
         y = apply_activation(y, step.act)
+        if train and act_dtype is not None:
+            y = y.astype(act_dtype)
         slots[step.out_slot] = y
     return bn_stats
 
@@ -936,7 +951,7 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False):
 
 def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
                   interpret: bool = False, mode: str = "pallas",
-                  train: bool = False):
+                  train: bool = False, act_dtype=None):
     """Returns run(params, x_nhwc) -> out_nhwc for use in nn/emit.py.
 
     For a stem plan, x is the raw net input (any float dtype); otherwise x
@@ -982,7 +997,7 @@ def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
             return run_hybrid
     if mode == "xla" or plan.xla_only or train:
         return functools.partial(run_region_xla, plan, compute_dtype=cd,
-                                 train=train)
+                                 train=train, act_dtype=act_dtype)
 
     def run(params, x):
         if plan.stem:

@@ -109,7 +109,7 @@ def maxpool(x, l, train: bool = False):
             window_strides=(1, l.stride_y, l.stride_x, 1),
             padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)),
         )
-    if (l.stride_y == 1 and l.stride_x == 1
+    if (l.stride_y == 1 and l.stride_x == 1 and lo <= l.size - 1
             and x.shape[1] + lo >= l.out_h and x.shape[2] + lo >= l.out_w):
         # SPP-style stride-1 pool: custom VJP (scatter-free backward)
         return _maxpool_s1(x, l.size, lo, hi_h, hi_w)

@@ -73,11 +73,16 @@ def head_delta(raw, truths, l, net, rng, hi):
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
                     remat: bool | str = False, accum: int = 1,
-                    stem_train: bool | None = None):
+                    stem_train: bool | None = None,
+                    train_act_dtype=None):
     """Build `train_step(params, opt_state, x, truths, rng, lr)`.
 
     x: (B, H, W, C) input batch; truths: (B, max_boxes, 5).
     Returns (params, opt_state, cost, metrics).
+
+    train_act_dtype (e.g. jnp.bfloat16) carries fused-region interior
+    activations (the vjp residuals) at reduced precision — BN statistics
+    and everything outside regions stay f32.  Default None = f32.
 
     accum > 1 replays the reference's subdivision loop
     (TrainNetwork, network.cpp:210-230: `subdiv` micro-batches of
@@ -93,7 +98,8 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     if use_adam is None:
         use_adam = net.adam
     fwd = make_forward(graph, train=True, compute_dtype=compute_dtype,
-                       remat=remat, stem_train=stem_train)
+                       remat=remat, stem_train=stem_train,
+                       train_act_dtype=train_act_dtype)
     # every trainable head kind, in layer order (= raw_heads order):
     # yolo/gaussian_yolo (v3/v4), detection (v1), cost (classifier era)
     heads = [l for l in graph.layers

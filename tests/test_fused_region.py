@@ -488,3 +488,42 @@ def test_int8_region_head_conv_stays_fp():
     head_in = {l.index - 1 for l in g.layers
                if l.kind in ("yolo", "gaussian_yolo", "detection")}
     assert 11 in head_in          # ...and is a head input: must be excluded
+
+
+def test_train_region_bf16_interior_close():
+    """Opt-in reduced-precision region interior (act_dtype=bfloat16,
+    run_region_xla): BN stats stay f32-computed, forward/grads agree with
+    the f32-interior path to bf16 quantization tolerance, and the region
+    output is handed back as f32."""
+    import jax
+
+    g = build_graph(TRAIN_CSP_CFG, train=True)
+    params = paramlib.init_params(g, seed=5)
+    x = np.random.default_rng(1).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    f_32 = make_forward(g, train=True, fuse_regions="xla")
+    f_16 = make_forward(g, train=True, fuse_regions="xla",
+                        train_act_dtype=jnp.bfloat16)
+
+    def loss(f):
+        def go(p):
+            r = f(p, x)
+            return jnp.sum(jnp.square(r["raw_heads"][0])), r
+        return go
+
+    (v1, r1), g1 = jax.value_and_grad(loss(f_32), has_aux=True)(params)
+    (v2, r2), g2 = jax.value_and_grad(loss(f_16), has_aux=True)(params)
+    assert r2["raw_heads"][0].dtype == r1["raw_heads"][0].dtype
+    np.testing.assert_allclose(float(v2), float(v1), rtol=0.05)
+    for k in r1["bn_stats"]:
+        np.testing.assert_allclose(np.asarray(r2["bn_stats"][k][0]),
+                                   np.asarray(r1["bn_stats"][k][0]),
+                                   rtol=0.05, atol=0.02)
+    for pa, pb in zip(g1, g2):
+        for key in pa:
+            a, b = np.asarray(pa[key]), np.asarray(pb[key])
+            assert np.isfinite(b).all(), key
+            np.testing.assert_allclose(
+                b, a, rtol=0.2, atol=0.05 * (np.abs(a).max() + 1e-6),
+                err_msg=key)
