@@ -105,6 +105,11 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         stem_s2d = False
     live = _liveness(graph)
     layers = graph.layers
+    # layers whose output a head consumes directly (heads read the
+    # previous layer): kept f32 under train_act_dtype so head/loss math
+    # is dtype-identical to the default path
+    head_feed = {j - 1 for j, l in enumerate(layers)
+                 if l.kind in ("yolo", "gaussian_yolo", "detection", "cost")}
     # layers that consume per-step randomness during training: dropout
     # masks and the [crop] layer's random offset/flip (crop_layer.c:64-67)
     n_dropout = sum(1 for l in layers
@@ -289,6 +294,12 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                                              compute_dtype=compute_dtype)
                     if st is not None:
                         bn_stats[i] = st
+                    if (train and train_act_dtype is not None
+                            and i not in head_feed):
+                        # reduced-precision interlayer tensor (vjp
+                        # residual); head-feeding convs stay f32 so the
+                        # loss math is dtype-identical to the default
+                        cur = cur.astype(train_act_dtype)
                 elif k == "connected":
                     cur, st = connected_block(cur, params[i], l, train=train,
                                               compute_dtype=compute_dtype)

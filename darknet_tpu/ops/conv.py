@@ -44,6 +44,10 @@ def conv2d_raw(x, w, *, stride=(1, 1), padding=((0, 0), (0, 0)),
         w = w.astype(compute_dtype)
     else:
         precision = lax.Precision.HIGHEST
+        if x.dtype != w.dtype:
+            # a reduced-precision interlayer tensor (train_act_dtype)
+            # meeting the f32 parity path: conv requires matching dtypes
+            x = x.astype(w.dtype)
     return lax.conv_general_dilated(
         x, w,
         window_strides=stride,

@@ -202,6 +202,40 @@ def test_stem_train_under_tensor_parallelism():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_train_act_dtype_bf16_close_and_heads_stay_f32():
+    """train_act_dtype=bfloat16: interlayer conv outputs carry bf16, but
+    head-feeding convs stay f32 (loss math dtype-identical); one train
+    step lands close to the f32 path."""
+    import jax
+
+    from darknet_tpu.train.step import init_opt_state, make_train_step
+
+    g = build_graph(HEAD_CFG)
+    params = paramlib.init_params(g, seed=5)
+    opt0 = init_opt_state(g, params)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((4, 8, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.25, 0.25, 0]
+    key, lr = jax.random.PRNGKey(0), jnp.float32(1e-3)
+
+    fwd = make_forward(g, train=True, train_act_dtype=jnp.bfloat16)
+    r = fwd(params, jnp.asarray(x))
+    assert r["raw_heads"][0].dtype == jnp.float32
+
+    s32 = make_train_step(g, jit=False, compute_dtype=jnp.bfloat16)
+    s16 = make_train_step(g, jit=False, compute_dtype=jnp.bfloat16,
+                          train_act_dtype=jnp.bfloat16)
+    p1, _, c1, _ = jax.jit(s32)(params, opt0, x, truths, key, lr)
+    p2, _, c2, _ = jax.jit(s16)(params, opt0, x, truths, key, lr)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=0.05)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, rtol=0.1,
+                                   atol=0.02 * (np.abs(a).max() + 1e-6))
+
+
 def test_stem_train_skips_gated_layers():
     """stopbackward/onlyforward/train_only_bn on layer 0/1 must fall back
     to the per-layer path (where emit lowers the gates to stop_gradient)."""
