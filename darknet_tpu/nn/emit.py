@@ -225,6 +225,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     stem_fn = jax.checkpoint(stem_fn)
                 cur, st01 = stem_fn(cur, params[0], params[1])
                 bn_stats.update(st01)
+                if train_act_dtype is not None and 1 not in head_feed:
+                    cur = cur.astype(train_act_dtype)
             if 1 in live:
                 outs[1] = cur
             start = 2
