@@ -41,11 +41,17 @@ def test_native_nms_speed(lib, rng):
     ], axis=1).astype(np.float32)
     probs = (rng.uniform(0, 1, (n, c)) *
              (rng.uniform(0, 1, (n, c)) > 0.9)).astype(np.float32)
-    t0 = time.perf_counter()
-    nms_native(boxes, probs, 0.45)
-    t_native = time.perf_counter() - t0
+    # best-of-3: the 1-core CI box runs suites concurrently, a single
+    # timing is scheduler noise
+    t_native = min(_timed_once(boxes, probs) for _ in range(3))
     # the mAP validator's workload must stay sub-100ms per image
     assert t_native < 0.5
+
+
+def _timed_once(boxes, probs):
+    t0 = time.perf_counter()
+    nms_native(boxes, probs, 0.45)
+    return time.perf_counter() - t0
 
 
 def test_native_match_dets(lib, rng):
