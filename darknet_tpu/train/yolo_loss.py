@@ -9,8 +9,9 @@ module reproduces those semantics exactly, on device:
 * phase 1 (vectorized over B,H,W,A): objectness background deltas with the
   `ignore_thresh` / `truth_thresh` dual-threshold scheme
   (yolo_layer.cpp:486-515);
-* phase 2 (a `fori_loop` over the max_boxes truth slots, preserving the
-  reference's sequential write semantics): per-GT anchor assignment by
+* phase 2 (vectorized over the (max_boxes, anchors) candidate lattice,
+  with last-writer-wins priorities reproducing the reference's
+  sequential write semantics): per-GT anchor assignment by
   max-IoU over shifted anchor priors plus `iou_thresh` extra matches
   (yolo_layer.cpp:543-672), box deltas via the MSE or IoU-family
   hand-gradient (delta_yolo_box:172-273, DxIou box.cpp:153-351 — including
