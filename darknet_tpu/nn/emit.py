@@ -406,4 +406,9 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             result["conv_in_absmax"] = conv_absmax
         return result
 
+    # expose compile-time structure decisions for callers that do layer-
+    # index bookkeeping over the emitted program (parallel/pipeline.py's
+    # cut planner must match the fusion layout actually emitted)
+    forward.stem_train = bool(stem_train)
+    forward.region_plans = region_plans
     return forward

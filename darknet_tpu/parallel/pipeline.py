@@ -74,11 +74,19 @@ def plan_cuts(graph, n_stages: int, *, forbidden=()) -> list:
     return cuts
 
 
-def _forbidden_cuts(graph, *, fuse_regions, stem_s2d, train=False) -> set:
+def _forbidden_cuts(graph, *, fuse_regions, stem_s2d, train=False,
+                    fwd=None) -> set:
     out = set()
     if stem_s2d:
         out.add(1)                    # the s2d stem fuses layers 0-1
-    if fuse_regions:
+    if fwd is not None and getattr(fwd, "stem_train", False):
+        out.add(1)                    # packed train stem fuses layers 0-1
+    if fwd is not None and getattr(fwd, "region_plans", None) is not None:
+        # use the plans the emitted program ACTUALLY uses (they shift
+        # when the packed train stem consumes layers 0-1)
+        for a, pl in fwd.region_plans.items():
+            out.update(range(a + 1, pl.stop + 1))
+    elif fuse_regions:
         from darknet_tpu.ops.pallas.fused_region import plan_graph_regions
 
         for a, pl in plan_graph_regions(graph, stem=stem_s2d,
@@ -117,7 +125,7 @@ class PipelineForward:
                            stem_s2d=stem)
         n_stages = len(devices)
         forb = _forbidden_cuts(graph, fuse_regions=fuse_regions,
-                               stem_s2d=stem)
+                               stem_s2d=stem, fwd=fwd)
         cuts = plan_cuts(graph, n_stages, forbidden=forb)
         bounds = [0] + cuts + [len(graph.layers)]
         self.devices = list(devices)
@@ -208,7 +216,7 @@ class PipelineTrain:
     def __init__(self, graph, params, devices, *, microbatches: int = 2,
                  use_adam: bool | None = None, compute_dtype=None,
                  fuse_regions: bool | None = None, remat: bool | str = False,
-                 iter0: int = 0):
+                 iter0: int = 0, stem_train: bool | None = None):
         from darknet_tpu.nn.emit import make_forward
         from darknet_tpu.train import optimizer as opt
         from darknet_tpu.train.step import head_delta, init_opt_state
@@ -222,10 +230,11 @@ class PipelineTrain:
         if fuse_regions is None:
             fuse_regions = jax.default_backend() == "tpu"
         fwd = make_forward(graph, train=True, compute_dtype=compute_dtype,
-                           fuse_regions=fuse_regions, remat=remat)
+                           fuse_regions=fuse_regions, remat=remat,
+                           stem_train=stem_train)
         n_stages = len(self.devices)
         forb = _forbidden_cuts(graph, fuse_regions=fuse_regions,
-                               stem_s2d=False, train=True)
+                               stem_s2d=False, train=True, fwd=fwd)
         cuts = plan_cuts(graph, n_stages, forbidden=forb)
         bounds = [0] + cuts + [len(graph.layers)]
         head_layers = [(i, l) for i, l in enumerate(graph.layers)

@@ -202,6 +202,38 @@ def test_stem_train_under_tensor_parallelism():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_stem_train_under_pipeline_training():
+    """PipelineTrain with the packed stem: cut bookkeeping must match the
+    emitted program (stem fuses layers 0-1 — cut 1 forbidden) and the
+    GPipe step must equal the single-device accumulation step."""
+    import jax
+
+    from darknet_tpu.parallel.pipeline import PipelineTrain
+    from darknet_tpu.train.step import init_opt_state, make_train_step
+
+    g = build_graph(HEAD_CFG)
+    params = paramlib.init_params(g, seed=5)
+    opt0 = init_opt_state(g, params)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    truths = np.zeros((4, 8, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.25, 0.25, 0]
+    key = jax.random.PRNGKey(0)
+
+    inner = make_train_step(g, jit=False, stem_train=True, accum=2)
+    p1, _, c1, _ = jax.jit(inner)(params, opt0, x, truths, key,
+                                  jnp.float32(1e-3))
+
+    pt = PipelineTrain(g, params, jax.devices()[:2], microbatches=2,
+                       stem_train=True)
+    c2, _ = pt.step(x, truths, key, 1e-3)
+    np.testing.assert_allclose(float(c2), float(c1), rtol=1e-5)
+    p2 = pt.gather_params()
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_train_act_dtype_bf16_close_and_heads_stay_f32():
     """train_act_dtype=bfloat16: interlayer conv outputs carry bf16, but
     head-feeding convs stay f32 (loss math dtype-identical); one train
