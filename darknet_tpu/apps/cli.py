@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-remat", "--remat", action="store_true",
                    help="rematerialize conv blocks in backward "
                         "(less memory, more FLOPs; for 608^2 training)")
+    p.add_argument("-act16", "--act16", action="store_true",
+                   help="bf16 interlayer activations in training "
+                        "(halves vjp-residual HBM traffic; BN stats f32)")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
     p.add_argument("-int8", "--int8", action="store_true",
@@ -252,6 +255,7 @@ def mode_train(args):
         save_name=os.path.splitext(os.path.basename(args.model_file))[0],
         metrics_path=args.metrics_file or None,
         show_imgs=3 if args.show_imgs else 0, remat=args.remat,
+        act16=args.act16,
         loader_processes=args.loader_processes)
     trainer.train()
 

@@ -23,7 +23,7 @@ from darknet_tpu.train.step import make_train_step
 
 def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
                        donate: bool = True, accum: int = 1,
-                       remat: bool = False):
+                       remat: bool = False, train_act_dtype=None):
     """Jitted DP train step: params/opt replicated, batch sharded.
 
     accum>1 composes subdivision gradient accumulation (train/step.py)
@@ -31,7 +31,8 @@ def make_dp_train_step(graph, mesh, *, axis: str = "dp", compute_dtype=None,
     scan step processes an equal local slice on every dp shard; the
     gradient all-reduce happens once, on the accumulated gradients."""
     inner = make_train_step(graph, compute_dtype=compute_dtype, jit=False,
-                            accum=accum, remat=remat)
+                            accum=accum, remat=remat,
+                            train_act_dtype=train_act_dtype)
 
     # each micro-batch must split evenly across the dp shards — an uneven
     # split wouldn't fail, but XLA would silently reshard every scan step

@@ -43,7 +43,8 @@ class DetectorTrainer:
                  clear=False, mesh=None, compute_dtype=None, seed=0,
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, loader_processes=-1,
-                 log=print, metrics_path=None, show_imgs=0, remat=False):
+                 log=print, metrics_path=None, show_imgs=0, remat=False,
+                 act16=False):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         # keep the cfg as TEXT so multi-scale rebuilds can patch dims
@@ -58,6 +59,9 @@ class DetectorTrainer:
         # trades FLOPs for activation memory — the lever beyond
         # [net] subdivisions for 608^2 training on one chip
         self.remat = remat
+        # reduced-precision interlayer activations (train_act_dtype):
+        # halves the vjp-residual HBM traffic; BN stats stay f32
+        self.act16 = act16
         self.log = log
         self.save_dir = save_dir
         self.save_name = save_name
@@ -158,13 +162,19 @@ class DetectorTrainer:
                 step = make_dp_train_step(g, self.mesh,
                                           compute_dtype=self.compute_dtype,
                                           donate=True, accum=accum,
-                                          remat=self.remat)
+                                          remat=self.remat,
+                                          train_act_dtype=self._act_dtype())
             else:
                 step = make_train_step(g, compute_dtype=self.compute_dtype,
                                        donate=True, accum=accum,
-                                       remat=self.remat)
+                                       remat=self.remat,
+                                       train_act_dtype=self._act_dtype())
             self._step_cache[key] = step
         return self._step_cache[key]
+
+    def _act_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.act16 else None
 
     def _pick_dims(self, avg_loss) -> tuple:
         net = self.net
