@@ -165,7 +165,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                              compute_dtype=compute_dtype or jnp.float32,
                              interpret=region_interpret, mode=mode,
                              train=train,
-                             act_dtype=train_act_dtype if train else None)
+                             act_dtype=train_act_dtype if train else None,
+                             step_remat=(train and remat == "steps"))
             for a, p in region_plans.items()}
     region_plan = None
     if stem_s2d:

@@ -781,7 +781,7 @@ def build_region_call(plan: RegionPlan, batch: int, *,
 
 def run_region_xla(plan: RegionPlan, params, x, *,
                    compute_dtype=jnp.bfloat16, train: bool = False,
-                   act_dtype=None):
+                   act_dtype=None, step_remat: bool = False):
     """Execute the region as p2-packed XLA convs instead of one Pallas
     kernel.
 
@@ -820,7 +820,7 @@ def run_region_xla(plan: RegionPlan, params, x, *,
 
     slots = {IN_SLOT: xp}
     bn_stats = _run_steps_xla(params, slots, plan.steps, cd, train=train,
-                              act_dtype=act_dtype)
+                              act_dtype=act_dtype, step_remat=step_remat)
     out = slots[plan.out_slot]
     out = out.reshape(b, plan.out_h, plan.out_w, plan.out_c)
     if train:
@@ -833,7 +833,7 @@ def run_region_xla(plan: RegionPlan, params, x, *,
 
 
 def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
-                   act_dtype=None):
+                   act_dtype=None, step_remat: bool = False):
     """Execute region steps as packed XLA convs, updating `slots` in
     place.  Returns bn_stats ({out_slot: (mean, var)}, train only).
 
@@ -848,10 +848,62 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
     from darknet_tpu.ops.conv import BN_EPS
 
     bn_stats = {}
+
+    def _train_step(step, params, *srcs):
+        """One region conv step, training fp path — a pure function of
+        (params, source slots) so it can be jax.checkpoint'ed: under
+        step_remat the backward stores ONLY the slot tensors (bf16 when
+        act_dtype is set) and recomputes the conv + BN + activation,
+        instead of saving the step's f32 BN/activation internals."""
+        src = srcs[0] if len(srcs) == 1 else jnp.concatenate(srcs, axis=-1)
+        w2k = pack_step_weights(step, step.w_fn(params))
+        dys = sorted({dy for dy, _ in step.taps})
+        djs = sorted({dj for _, dj in step.taps})
+        w4 = w2k.reshape(len(dys), len(djs), 2 * step.c_tot, 2 * step.n)
+        out_dtype = cd if cd != jnp.float32 else jnp.float32
+        precision = lax.Precision.HIGHEST if cd == jnp.float32 else None
+        y = lax.conv_general_dilated(
+            src.astype(cd), w4.astype(cd), (step.sy, step.sx),
+            ((-dys[0], dys[-1]), (-djs[0], djs[-1])),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+            preferred_element_type=out_dtype)
+        if cd != jnp.float32:
+            y = y.astype(jnp.float32)
+        n = step.n
+        beta = jnp.asarray(step.b_fn(params), jnp.float32)
+        st = None
+        if step.bn:
+            m2 = jnp.mean(y, axis=(0, 1, 2))                  # (2N,)
+            mean = 0.5 * (m2[:n] + m2[n:])
+            dev = jnp.sum(jnp.square(y - jnp.tile(mean, 2)), axis=(0, 1, 2))
+            cnt = y.shape[0] * y.shape[1] * y.shape[2] * 2
+            var = (dev[:n] + dev[n:]) / max(cnt - 1, 1)
+            st = (mean, var)
+            inv = lax.rsqrt(var + BN_EPS)
+            scales = jnp.asarray(step.s_fn(params), jnp.float32)
+            y = (y - jnp.tile(mean, 2)) * jnp.tile(inv * scales, 2) \
+                + jnp.tile(beta, 2)
+        else:
+            y = y + jnp.concatenate([beta, beta])
+        y = apply_activation(y, step.act)
+        if act_dtype is not None:
+            y = y.astype(act_dtype)
+        return y, st
+
     for step in steps:
         if isinstance(step, AddStep):
             y = slots[step.a] + slots[step.b]
             slots[step.out_slot] = apply_activation(y, step.act)
+            continue
+        if train:
+            fn = functools.partial(_train_step, step)
+            if step_remat:
+                fn = jax.checkpoint(fn)
+            y, st = fn(params, *[slots[s] for s in step.srcs])
+            if st is not None:
+                bn_stats[step.out_slot] = st
+            slots[step.out_slot] = y
             continue
         w2k = pack_step_weights(step, step.w_fn(params))
         dys = sorted({dy for dy, _ in step.taps})
@@ -906,7 +958,7 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
             slots[step.out_slot] = y
             continue
 
-        out_dtype = cd if (train and cd != jnp.float32) else jnp.float32
+        # inference fp path (train went through _train_step above)
         # f32 compute = the parity path: HIGHEST precision like
         # ops/conv.conv2d_raw (TPU default f32 conv is bf16-reduced)
         precision = lax.Precision.HIGHEST if cd == jnp.float32 else None
@@ -915,31 +967,11 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
             ((-dys[0], dys[-1]), (-djs[0], djs[-1])),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision,
-            preferred_element_type=out_dtype)
-        if train and cd != jnp.float32:
-            y = y.astype(jnp.float32)
-
-        n = step.n
+            preferred_element_type=jnp.float32)
         beta = jnp.asarray(step.b_fn(params), jnp.float32)
-        if train and step.bn:
-            m2 = jnp.mean(y, axis=(0, 1, 2))                  # (2N,)
-            mean = 0.5 * (m2[:n] + m2[n:])
-            dev = jnp.sum(jnp.square(y - jnp.tile(mean, 2)), axis=(0, 1, 2))
-            cnt = y.shape[0] * y.shape[1] * y.shape[2] * 2
-            var = (dev[:n] + dev[n:]) / max(cnt - 1, 1)
-            bn_stats[step.out_slot] = (mean, var)
-            inv = lax.rsqrt(var + BN_EPS)
-            scales = jnp.asarray(step.s_fn(params), jnp.float32)
-            y = (y - jnp.tile(mean, 2)) * jnp.tile(inv * scales, 2) \
-                + jnp.tile(beta, 2)
-        else:
-            y = y + jnp.concatenate([beta, beta])
-
-        if not train:
-            y = y.astype(cd)
+        y = y + jnp.concatenate([beta, beta])
+        y = y.astype(cd)
         y = apply_activation(y, step.act)
-        if train and act_dtype is not None:
-            y = y.astype(act_dtype)
         slots[step.out_slot] = y
     return bn_stats
 
@@ -951,7 +983,8 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
 
 def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
                   interpret: bool = False, mode: str = "pallas",
-                  train: bool = False, act_dtype=None):
+                  train: bool = False, act_dtype=None,
+                  step_remat: bool = False):
     """Returns run(params, x_nhwc) -> out_nhwc for use in nn/emit.py.
 
     For a stem plan, x is the raw net input (any float dtype); otherwise x
@@ -997,7 +1030,8 @@ def region_runner(plan: RegionPlan, *, compute_dtype=jnp.bfloat16,
             return run_hybrid
     if mode == "xla" or plan.xla_only or train:
         return functools.partial(run_region_xla, plan, compute_dtype=cd,
-                                 train=train, act_dtype=act_dtype)
+                                 train=train, act_dtype=act_dtype,
+                                 step_remat=step_remat)
 
     def run(params, x):
         if plan.stem:

@@ -84,6 +84,13 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
     activations (the vjp residuals) at reduced precision — BN statistics
     and everything outside regions stay f32.  Default None = f32.
 
+    remat levels (each adds recompute, saves residual memory/traffic):
+      False    — store everything;
+      True     — checkpoint plain conv blocks (+ the packed stem);
+      "steps"  — + checkpoint each fused-region conv step (stores only
+                 the slot tensors, recomputes conv+BN+act in backward);
+      "all"    — + checkpoint whole regions (stores only region inputs).
+
     accum > 1 replays the reference's subdivision loop
     (TrainNetwork, network.cpp:210-230: `subdiv` micro-batches of
     `net.batch` images each, gradients accumulated into weight_updates,

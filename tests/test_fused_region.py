@@ -527,3 +527,37 @@ def test_train_region_bf16_interior_close():
             np.testing.assert_allclose(
                 b, a, rtol=0.2, atol=0.05 * (np.abs(a).max() + 1e-6),
                 err_msg=key)
+
+
+def test_train_region_step_remat_matches():
+    """remat="steps" checkpoints each region conv step individually
+    (stores only the slot tensors, recomputes the step's conv+BN+act in
+    backward) — values and gradients must equal the non-remat path."""
+    import jax
+
+    g = build_graph(TRAIN_CSP_CFG, train=True)
+    params = paramlib.init_params(g, seed=5)
+    x = np.random.default_rng(2).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    f_a = make_forward(g, train=True, fuse_regions="xla")
+    f_b = make_forward(g, train=True, fuse_regions="xla", remat="steps")
+
+    def loss(f):
+        def go(p):
+            r = f(p, x)
+            return (jnp.sum(jnp.square(r["raw_heads"][0])), r["bn_stats"])
+        return go
+
+    (v1, s1), g1 = jax.value_and_grad(loss(f_a), has_aux=True)(params)
+    (v2, s2), g2 = jax.value_and_grad(loss(f_b), has_aux=True)(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    assert set(s1) == set(s2)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s2[k][0]), np.asarray(s1[k][0]),
+                                   rtol=1e-6, atol=1e-8)
+    for pa, pb in zip(g1, g2):
+        for key in pa:
+            np.testing.assert_allclose(np.asarray(pa[key]),
+                                       np.asarray(pb[key]),
+                                       rtol=1e-5, atol=1e-6, err_msg=key)
