@@ -268,6 +268,66 @@ def test_train_act_dtype_bf16_close_and_heads_stay_f32():
                                    atol=0.02 * (np.abs(a).max() + 1e-6))
 
 
+import pytest
+
+
+@pytest.mark.parametrize("n0,n1,act0,act1,hw", [
+    (4, 8, "swish", "mish", (24, 40)),     # non-square
+    (16, 32, "leaky", "relu", (32, 32)),
+    (8, 8, "mish", "logistic", (40, 24)),
+])
+def test_fused_stem_train_fuzz(n0, n1, act0, act1, hw):
+    """Packed train stem across filter counts, activations and non-square
+    dims: forward + grads must match the per-layer path."""
+    h, w = hw
+    cfg = f"""[net]
+batch=2
+subdivisions=1
+width={w}
+height={h}
+channels=3
+[convolutional]
+batch_normalize=1
+filters={n0}
+size=3
+stride=1
+pad=1
+activation={act0}
+[convolutional]
+batch_normalize=1
+filters={n1}
+size=3
+stride=2
+pad=1
+activation={act1}
+[convolutional]
+filters=6
+size=1
+stride=1
+pad=1
+activation=linear
+"""
+    g = build_graph(cfg)
+    params = paramlib.init_params(g, seed=1)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+
+    outs, grads = [], []
+    for st in (False, True):
+        fwd = make_forward(g, train=True, stem_train=st)
+        outs.append(np.asarray(fwd(params, x)["output"]))
+        grads.append(jax.grad(
+            lambda p: jnp.sum(jnp.square(fwd(p, x)["output"])))(params))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=3e-5, atol=3e-6)
+    for gp, gq in zip(grads[0], grads[1]):
+        for k in gp:
+            # atol floor: non-smooth activations (relu/leaky kinks) flip
+            # a subgradient when f32 reordering moves a pre-activation
+            # value across 0 — measure-zero, tiny absolute effect
+            np.testing.assert_allclose(np.asarray(gq[k]), np.asarray(gp[k]),
+                                       rtol=1e-3, atol=1e-4, err_msg=k)
+
+
 def test_stem_train_skips_gated_layers():
     """stopbackward/onlyforward/train_only_bn on layer 0/1 must fall back
     to the per-layer path (where emit lowers the gates to stop_gradient)."""
