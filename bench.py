@@ -45,7 +45,10 @@ def main():
     from darknet_tpu.nn import params as paramlib
     from darknet_tpu.nn.network import Network
 
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    # positional batch override; skip flags and non-numeric tokens (the
+    # CLI's `-mode bench` dispatch leaves "bench" in argv)
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("-") and a.isdigit()]
     # headline config = production low-precision serving (int8 weights +
     # dynamic activation quant, head convs full precision) — the same
     # precision class TensorRT deployments of yolov4 report; --bf16

@@ -17,12 +17,36 @@ Public surface (mirrors the capability of `yolo_core.h:625-663`):
 
 from darknet_tpu.version import __version__, WEIGHTS_VERSION
 
-from darknet_tpu.config.cfg import parse_cfg_text, parse_cfg_file, Section
-from darknet_tpu.config.metadata import Metadata
-from darknet_tpu.graph.builder import build_graph
-from darknet_tpu.graph.ir import NetConfig, LayerIR
-from darknet_tpu.nn.network import Network
-from darknet_tpu.nn.params import fuse_conv_batchnorm
+# The public surface resolves lazily (PEP 562) so that importing any
+# submodule — in particular data.loader inside spawned loader workers —
+# does not drag in jax through nn.network.  Workers stay numpy+cv2-only
+# and `import darknet_tpu` for config-only use stays instant.
+_LAZY = {
+    "parse_cfg_text": "darknet_tpu.config.cfg",
+    "parse_cfg_file": "darknet_tpu.config.cfg",
+    "Section": "darknet_tpu.config.cfg",
+    "Metadata": "darknet_tpu.config.metadata",
+    "build_graph": "darknet_tpu.graph.builder",
+    "NetConfig": "darknet_tpu.graph.ir",
+    "LayerIR": "darknet_tpu.graph.ir",
+    "Network": "darknet_tpu.nn.network",
+    "fuse_conv_batchnorm": "darknet_tpu.nn.params",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        val = getattr(importlib.import_module(_LAZY[name]), name)
+        globals()[name] = val
+        return val
+    raise AttributeError(f"module 'darknet_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
+
 
 __all__ = [
     "__version__",

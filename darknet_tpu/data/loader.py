@@ -12,11 +12,13 @@ Worker modes: the default thread pool matches the reference's
 the numpy parts of the augmentation — measured 20 img/s of 608 mosaic
 on this box, BELOW the 70 img/s one-chip training rate.  `processes=N`
 switches the per-sample stage to a spawn-based process pool (same seeds,
-same batches bit-for-bit — `_sample` is a pure function of (paths, seed,
-dims, aug config)); batch assembly (mosaic/mixup composition) stays in
-the single assembler thread.  Spawned workers import only numpy+cv2,
-never jax — spawning (not forking) avoids deadlocking the parent's TPU
-runtime threads.
+same batches bit-for-bit — `_sample_one` is a pure function of (paths,
+seed, dims, aug config)); batch assembly (mosaic/mixup composition)
+stays in the single assembler thread.  Spawned workers import only
+numpy+cv2, never jax: unpickling `_worker_sample` imports this module,
+whose whole import chain (darknet_tpu/__init__ is lazy per PEP 562,
+data.augment/data.image are numpy-only) avoids jax — and spawning (not
+forking) avoids deadlocking the parent's TPU runtime threads.
 """
 
 from __future__ import annotations
@@ -39,23 +41,30 @@ def _init_worker(cfg):
     _WCFG.update(cfg)
 
 
-def _worker_sample(seed, w, h):
-    """Per-sample stage in a worker process: identical body to
-    DetectionLoader._sample, reading config from the initializer."""
+def _sample_one(cfg, seed, w, h):
+    """One augmented sample from config dict `cfg` — the single body
+    behind both worker modes (thread pool via DetectionLoader._sample,
+    process pool via _worker_sample), keeping them bit-identical."""
     rng = np.random.default_rng(seed)
-    path = _WCFG["paths"][rng.integers(0, len(_WCFG["paths"]))]
+    path = cfg["paths"][rng.integers(0, len(cfg["paths"]))]
     try:
         return load_detection_sample(
-            path, w, h, _WCFG["boxes"], _WCFG["classes"], rng=rng,
-            **_WCFG["aug"])
+            path, w, h, cfg["boxes"], cfg["classes"], rng=rng, **cfg["aug"])
     except Exception:
+        # bad image: log to bad.list like the reference (data.cpp:87-89)
+        # and emit zeros
         try:
-            with open(os.path.join(_WCFG["bad_dir"], "bad.list"), "a") as f:
+            with open(os.path.join(cfg["bad_dir"], "bad.list"), "a") as f:
                 f.write(path + "\n")
         except OSError:
             pass
         return (np.zeros((h, w, 3), np.float32),
-                np.zeros((_WCFG["boxes"], 5), np.float32), {})
+                np.zeros((cfg["boxes"], 5), np.float32), {})
+
+
+def _worker_sample(seed, w, h):
+    """Per-sample stage in a worker process, config from the initializer."""
+    return _sample_one(_WCFG, seed, w, h)
 
 
 class DetectionLoader:
@@ -121,22 +130,9 @@ class DetectionLoader:
         self.w, self.h = w, h
 
     def _sample(self, seed, w, h):
-        rng = np.random.default_rng(seed)
-        path = self.paths[rng.integers(0, len(self.paths))]
-        try:
-            return load_detection_sample(
-                path, w, h, self.boxes, self.classes, rng=rng, **self.aug)
-        except Exception:
-            # bad image: log to bad.list like the reference
-            # (data.cpp:87-89) and emit zeros
-            try:
-                with open(os.path.join(self.show_imgs_dir, "bad.list"),
-                          "a") as f:
-                    f.write(path + "\n")
-            except OSError:
-                pass
-            return (np.zeros((h, w, 3), np.float32),
-                    np.zeros((self.boxes, 5), np.float32), {})
+        return _sample_one({"paths": self.paths, "boxes": self.boxes,
+                            "classes": self.classes, "aug": self.aug,
+                            "bad_dir": self.show_imgs_dir}, seed, w, h)
 
     def _make_batch(self, seed, w, h):
         rng = np.random.default_rng(seed)

@@ -55,21 +55,32 @@ def plan_cuts(graph, n_stages: int, *, forbidden=()) -> list:
     bf = np.array([l.bflops or 0.0 for l in graph.layers])
     cum = np.cumsum(bf)
     total = cum[-1] if len(cum) else 0.0
+    forbidden = set(forbidden)
+    n = len(graph.layers)
     cuts = []
     for s in range(1, n_stages):
         target = total * s / n_stages
         c = int(np.searchsorted(cum, target)) + 1
-        c = max(1, min(c, len(graph.layers) - 1))
-        # snap forward, then backward, to the nearest allowed position
-        orig = c
-        while c in forbidden and c < len(graph.layers) - 1:
-            c += 1
-        if c in forbidden:
-            c = orig
-            while c in forbidden and c > 1:
-                c -= 1
-        if cuts and c <= cuts[-1]:
-            c = cuts[-1] + 1
+        # every candidate must be > the previous cut (non-empty stages,
+        # monotone order) AND outside `forbidden` — snap forward first,
+        # then backward, never violating either constraint
+        lo = cuts[-1] + 1 if cuts else 1
+        c = max(lo, min(c, n - 1))
+        fwd = c
+        while fwd in forbidden and fwd < n - 1:
+            fwd += 1
+        if fwd not in forbidden:
+            c = fwd
+        else:
+            bwd = c
+            while bwd in forbidden and bwd > lo:
+                bwd -= 1
+            if bwd in forbidden:
+                raise ValueError(
+                    f"pipeline stage {s}: no legal cut in [{lo}, {n - 1}] — "
+                    f"every position is inside a fused region or "
+                    f"share_index span; reduce n_stages or disable fusion")
+            c = bwd
         cuts.append(c)
     return cuts
 
@@ -185,11 +196,6 @@ class PipelineForward:
         heads = [jnp.concatenate([o[h] for o in outs], axis=0)
                  for h in range(len(outs[0]))]
         return heads
-
-
-# per-GT-averaged head metrics (same treatment as train/step.py accum)
-_COUNT_WEIGHTED = frozenset(
-    {"avg_iou", "avg_obj", "avg_cat", "recall50", "recall75"})
 
 
 class PipelineTrain:
@@ -331,9 +337,10 @@ class PipelineTrain:
         M = self.microbatches
         b = x.shape[0]
         assert b % M == 0, (b, M)
-        x = jnp.asarray(x)
-        truths = jnp.asarray(truths)
-        # interleaved micro assignment, same as make_train_step(accum=M)
+        # interleaved micro assignment, same as make_train_step(accum=M);
+        # the split stays on host — each micro is device_put to its own
+        # stage device below, so a whole-batch device copy here would be
+        # a wasted round-trip
         xm = np.moveaxis(np.asarray(x).reshape(b // M, M, *x.shape[1:]),
                          1, 0)
         tm = np.moveaxis(
@@ -412,21 +419,14 @@ class PipelineTrain:
                 bn_mc, bn_vc, keep)
 
         cost = sum(costs[1:], costs[0])
-        metrics_list = []
-        for h in sorted(mets_by_head):
-            ms = mets_by_head[h]
-            cnt = jnp.stack([m["count"] for m in ms])
-            agg = {}
-            for k in ms[0]:
-                v = jnp.stack([m[k] for m in ms])
-                if k == "count":
-                    agg[k] = jnp.sum(v)
-                elif k in _COUNT_WEIGHTED:
-                    agg[k] = jnp.sum(v * cnt) / jnp.maximum(jnp.sum(cnt),
-                                                            1.0)
-                else:
-                    agg[k] = jnp.mean(v)
-            metrics_list.append(agg)
+        # same aggregation as make_train_step(accum=M) — shared helper
+        from darknet_tpu.train.step import aggregate_micro_metrics
+
+        metrics_list = [
+            aggregate_micro_metrics(
+                {k: jnp.stack([m[k] for m in mets_by_head[h]])
+                 for k in mets_by_head[h][0]})
+            for h in sorted(mets_by_head)]
         metrics = {
             "loss": sum(m["loss"] for m in metrics_list),
             "avg_iou": sum(m["avg_iou"] for m in metrics_list)

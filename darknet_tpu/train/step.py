@@ -70,6 +70,30 @@ def head_delta(raw, truths, l, net, rng, hi):
     return d, c, m
 
 
+# per-GT-averaged head metrics: means over matched GT boxes, so
+# micro-batch aggregation must re-weight by each micro's match count for
+# the aggregate to equal the single-batch ratio-of-sums
+COUNT_WEIGHTED_METRICS = frozenset(
+    {"avg_iou", "avg_obj", "avg_cat", "recall50", "recall75"})
+
+
+def aggregate_micro_metrics(m_stk):
+    """Combine one head's per-micro metrics (dict of stacked (M,) leaves)
+    into a single dict with make_train_step(accum=M) semantics.  Shared by
+    the accum scan here and parallel/pipeline.PipelineTrain so the two
+    paths can never diverge in metric semantics."""
+    cnt = m_stk.get("count")
+    m = {}
+    for k, v in m_stk.items():
+        if k == "count":
+            m[k] = jnp.sum(v)
+        elif k in COUNT_WEIGHTED_METRICS and cnt is not None:
+            m[k] = jnp.sum(v * cnt) / jnp.maximum(jnp.sum(cnt), 1.0)
+        else:
+            m[k] = jnp.mean(v)
+    return m
+
+
 def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
                     donate: bool = True, jit: bool = True,
                     remat: bool | str = False, accum: int = 1,
@@ -134,10 +158,6 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         return grads, jnp.sum(jnp.stack(costs)), metrics_list, bn_stats
 
-    # per-GT-averaged head metrics: re-weight by each micro-batch's match
-    # count so the aggregate equals the single-batch ratio-of-sums
-    _COUNT_WEIGHTED = frozenset(
-        {"avg_iou", "avg_obj", "avg_cat", "recall50", "recall75"})
 
     def step(params, opt_state, x, truths, rng, lr):
         if accum > 1:
@@ -170,19 +190,9 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             grads, (costs_m, mets_m, stats_m) = jax.lax.scan(
                 body, zeros, (xm, tm, rngs))
             cost = jnp.sum(costs_m)
-            metrics_list = []
-            for m_stk in mets_m:           # list of dicts, leaves (accum,)
-                cnt = m_stk.get("count")
-                m = {}
-                for k, v in m_stk.items():
-                    if k == "count":
-                        m[k] = jnp.sum(v)
-                    elif k in _COUNT_WEIGHTED and cnt is not None:
-                        m[k] = jnp.sum(v * cnt) / jnp.maximum(
-                            jnp.sum(cnt), 1.0)
-                    else:
-                        m[k] = jnp.mean(v)
-                metrics_list.append(m)
+            # list of dicts, leaves stacked (accum,)
+            metrics_list = [aggregate_micro_metrics(m_stk)
+                            for m_stk in mets_m]
             # BN rolling: sequential 0.9/0.1 per micro-batch =
             # 0.9^n * old + 0.1 * sum_j 0.9^(n-1-j) * stats_j
             wgt = 0.1 * (0.9 ** jnp.arange(accum - 1, -1, -1,

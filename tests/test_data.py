@@ -184,3 +184,27 @@ def test_hue_shift_scale(dataset):
                                   gaussian_noise=0, blur=0, truth=None)
     # hue shifted by 1/3 of the circle: red -> green
     assert out[4, 4, 1] > 0.9 and out[4, 4, 0] < 0.1
+
+
+def test_loader_worker_import_chain_is_jax_free():
+    """Spawned process-pool workers unpickle `_worker_sample`, importing
+    darknet_tpu.data.loader; that chain must never pull in jax (workers
+    are numpy+cv2-only — the package __init__ resolves its surface
+    lazily, PEP 562).  Run in a fresh interpreter; skip if the host
+    site-customization preloads jax for every process (the axon dev box
+    does — that masks the property this test guards)."""
+    import subprocess
+    import sys
+
+    probe = ("import sys; "
+             "preloaded = 'jax' in sys.modules; "
+             "import darknet_tpu.data.loader; "
+             "print('preloaded' if preloaded else "
+             "('jax' if 'jax' in sys.modules else 'clean'))")
+    out = subprocess.run([sys.executable, "-c", probe],
+                         capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    verdict = out.stdout.strip()
+    if verdict == "preloaded":
+        pytest.skip("host sitecustomize preloads jax in every process")
+    assert verdict == "clean", "darknet_tpu.data.loader import pulled in jax"

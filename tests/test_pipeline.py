@@ -3,6 +3,7 @@ match the single-device forward exactly — stages reuse the stock emitter
 in slice mode, so this gates the cut planning + cross-stage dataflow."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,21 @@ def test_plan_cuts_balanced_and_monotonic():
     bounds = [0] + cuts + [len(g.layers)]
     shares = [sum(bf[a:b]) for a, b in zip(bounds, bounds[1:])]
     assert max(shares) < 2.2 * (sum(bf) / 4)    # roughly balanced
+
+
+def test_plan_cuts_never_lands_on_forbidden():
+    g = build_graph(model_zoo.yolov4_cfg(96, 96))
+    n = len(g.layers)
+    # adversarial forbidden set: huge contiguous spans around every
+    # BFLOP-balanced target, so both the monotonic bump and the backward
+    # snap paths get exercised
+    forbidden = set(range(2, n // 2)) | set(range(n // 2 + 1, n - 2))
+    cuts = plan_cuts(g, 4, forbidden=forbidden)
+    assert cuts == sorted(set(cuts)), cuts              # strictly monotone
+    assert not set(cuts) & forbidden, (cuts,)           # all legal
+    # fully-forbidden interior -> explicit error, not a silent bad cut
+    with pytest.raises(ValueError):
+        plan_cuts(g, 4, forbidden=set(range(1, n)))
 
 
 def test_pipeline_tiny_matches_single_device(rng):
