@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-thresh", "--thresh", type=float, default=0.5)
     p.add_argument("-nms_thresh", "--nms_thresh", type=float, default=0.45)
     p.add_argument("-clear", "--clear", action="store_true")
+    p.add_argument("-resume", "--resume", action="store_true",
+                   help="restore the rolling full-state checkpoint "
+                        "(<model>_last.ckpt.npz in the backup dir) for "
+                        "exact resume incl. optimizer momentum — beyond "
+                        "the reference's weights-only restart")
     p.add_argument("-show_imgs", "--show_imgs", action="store_true")
     p.add_argument("-save_output", "--save_output", action="store_true")
     p.add_argument("-calc_map", "--calc_map", action="store_true",
@@ -256,7 +261,7 @@ def mode_train(args):
         metrics_path=args.metrics_file or None,
         show_imgs=3 if args.show_imgs else 0, remat=args.remat,
         act16=args.act16,
-        loader_processes=args.loader_processes)
+        loader_processes=args.loader_processes, resume=args.resume)
     trainer.train()
 
 

@@ -219,6 +219,20 @@ class DetectionLoader:
         w, h = self.w, self.h
         self._pending = self._assembler.submit(self._make_batch, seed, w, h)
 
+    def fast_forward(self, n: int) -> None:
+        """Skip the first `n` batches of the seed stream without building
+        them — exact data-stream continuation when resuming training from
+        a full-state checkpoint (each batch consumes exactly one draw
+        from self.rng; construction already spent draw #1 on the
+        in-flight batch)."""
+        if n <= 0:
+            return
+        with self._lock:
+            self._pending.result()               # discard in-flight batch
+            for _ in range(n - 1):               # discard seeds 2..n
+                self.rng.integers(0, 2 ** 31)
+            self._kickoff()                      # batch n+1 in flight
+
     def next(self):
         """Block for the in-flight batch, immediately start the next one
         (the reference's pthread_join + load_data relaunch)."""

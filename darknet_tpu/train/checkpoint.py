@@ -5,6 +5,19 @@ momentum/Adam slots are lost on restart (SURVEY.md §5 flags this gap).  We
 keep the byte-compatible `.weights` for interop (weights/io.py) and add a
 native `.ckpt.npz` carrying the complete state: params, optimizer slots,
 seen, and the RNG key — so resume is exact.
+
+Two native formats:
+
+- `.ckpt.npz` (save_checkpoint/load_checkpoint): single-file, host-
+  gathered.  Right for single-process training — simple, greppable,
+  no directory trees.
+- sharded directory (save_checkpoint_sharded/load_checkpoint_sharded,
+  orbax-backed): each process writes only the array shards it owns and
+  restore places shards directly onto the target mesh — required when
+  the training state is GSPMD-sharded across processes
+  (parallel/tensor.py filter sharding, parallel/multihost.py DP), where
+  a host gather would either OOM one host or simply fail on
+  non-addressable arrays.
 """
 
 from __future__ import annotations
@@ -65,3 +78,75 @@ def load_checkpoint(path, params_template, opt_template):
     seen = int(data["meta/seen"])
     rng_key = data["meta/rng"] if "meta/rng" in data else None
     return params, opt_state, seen, rng_key
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-host) checkpointing — orbax-backed.
+# ---------------------------------------------------------------------------
+
+def _abstract_like(leaf):
+    """Restore template leaf: sharded jax.Arrays restore onto their own
+    sharding; everything else restores as host numpy."""
+    import jax
+
+    if isinstance(leaf, jax.Array):
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    return leaf
+
+
+def save_checkpoint_sharded(path, params, opt_state, seen: int,
+                            rng_key=None, extra: dict | None = None) -> None:
+    """Write the full training state as a sharded checkpoint DIRECTORY.
+
+    Unlike save_checkpoint (single .npz, host-gathered), every process
+    persists only its locally-addressable shards, so this works when
+    params/opt live distributed over a multi-host mesh.  `path` must be
+    a directory path (created; existing contents replaced).
+    """
+    import orbax.checkpoint as ocp
+
+    tree = {"params": params, "opt": opt_state,
+            "meta": {"seen": np.asarray(seen, np.int64)}}
+    if rng_key is not None:
+        tree["meta"]["rng"] = rng_key
+    if extra:
+        tree["extra"] = {k: np.asarray(v) for k, v in extra.items()}
+    path = ocp.test_utils.erase_and_create_empty(str(path))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path / "state", tree)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_sharded(path, params_template, opt_template):
+    """Restore (params, opt_state, seen, rng_key) from a sharded
+    checkpoint directory.  Template leaves that are sharded jax.Arrays
+    (or ShapeDtypeStructs with shardings) come back placed on the same
+    mesh/sharding; numpy template leaves come back as host numpy."""
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    abstract = {
+        "params": jax.tree.map(_abstract_like, params_template),
+        "opt": jax.tree.map(_abstract_like, opt_template),
+        "meta": {"seen": np.asarray(0, np.int64)},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    state_dir = os.path.join(str(path), "state")
+    # probe the saved tree for the optional keys before shaping the template
+    meta = ckptr.metadata(state_dir)
+    saved = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    tree_meta = getattr(saved, "tree", None) or {}
+    if "rng" in tree_meta.get("meta", {}):
+        abstract["meta"]["rng"] = np.zeros(
+            tree_meta["meta"]["rng"].shape, tree_meta["meta"]["rng"].dtype)
+    if "extra" in tree_meta:
+        abstract["extra"] = {
+            k: np.zeros(v.shape, v.dtype)
+            for k, v in tree_meta["extra"].items()}
+    restored = ckptr.restore(state_dir, abstract)
+    return (restored["params"], restored["opt"],
+            int(restored["meta"]["seen"]),
+            restored["meta"].get("rng"))

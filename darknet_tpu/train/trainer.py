@@ -44,7 +44,7 @@ class DetectorTrainer:
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, loader_processes=-1,
                  log=print, metrics_path=None, show_imgs=0, remat=False,
-                 act16=False):
+                 act16=False, full_state=True, resume=False):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         # keep the cfg as TEXT so multi-scale rebuilds can patch dims
@@ -85,6 +85,17 @@ class DetectorTrainer:
         self.opt_state = init_opt_state(self.graph, self.params,
                                         iter0=self.curr_iter)
 
+        # full-state checkpointing: alongside each periodic .weights the
+        # trainer writes a rolling <save_name>_last.ckpt.npz carrying
+        # params + optimizer slots + seen + rng — the reference loses
+        # momentum on restart (SURVEY.md §5); resume=True restores it
+        # (after the loader exists, so the data stream fast-forwards too)
+        self.full_state = full_state
+        self._key = jax.random.PRNGKey(0)
+        self.state_path = os.path.join(save_dir,
+                                       f"{save_name}_last.ckpt.npz")
+        self._resume = resume
+
         heads = self.graph.heads()
         self.head = heads[-1] if heads else None
         self.max_boxes = getattr(self.head, "max_boxes", 90)
@@ -113,6 +124,22 @@ class DetectorTrainer:
         from darknet_tpu.utils.metrics import MetricsLogger
 
         self.metrics = MetricsLogger(metrics_path, log=log)
+
+        if self._resume:
+            path = (self._resume if isinstance(self._resume, str)
+                    else self.state_path)
+            if not os.path.exists(path):
+                # multi-process saves write a sharded DIRECTORY instead
+                alt = path[:-len(".npz")] if path.endswith(".npz") else None
+                if alt and os.path.isdir(alt):
+                    path = alt
+                elif isinstance(self._resume, str):
+                    raise FileNotFoundError(
+                        f"resume checkpoint not found: {path}")
+                else:
+                    path = None            # -resume with nothing saved yet
+            if path:
+                self.load_state(path)
 
     @staticmethod
     def _auto_procs(loader_processes: int, loader_threads: int) -> int:
@@ -208,7 +235,7 @@ class DetectorTrainer:
             min(net.max_iter, self.curr_iter + max_iters)
         count = 0
         dim_w, dim_h = net.w, net.h
-        key = jax.random.PRNGKey(0)
+        key = self._key
 
         while self.curr_iter < end_iter:
             if self.random_coef and count % 10 == 0:
@@ -231,6 +258,7 @@ class DetectorTrainer:
                         rand01=float(np.random.default_rng(
                             self.curr_iter).uniform()))
             key, sub = jax.random.split(key)
+            self._key = key
             args = (self.params, self.opt_state, jnp.asarray(x),
                     jnp.asarray(y), sub, jnp.float32(lr))
             if self.mesh is not None:
@@ -272,8 +300,12 @@ class DetectorTrainer:
             if it >= iter_save + 1000 or it % 1000 == 0:
                 iter_save = it
                 self.save(suffix=str(it))
+                if self.full_state:
+                    self.save_state()
 
         self.save(suffix="final")
+        if self.full_state:
+            self.save_state()
         return avg_loss
 
     # ------------------------------------------------------------------
@@ -303,6 +335,52 @@ class DetectorTrainer:
                                 batch=4 if len(self.val_paths) >= 4 else 1,
                                 resize="darknet")
         return res.map
+
+    def save_state(self, path: str | None = None) -> str:
+        """Write the rolling full-state checkpoint (params + optimizer
+        slots + seen + rng key) so training can resume exactly — the
+        reference restarts from `.weights` alone and loses momentum
+        (SURVEY.md §5 gap).  Single-process: one `.ckpt.npz` file.
+        Multi-process (jax.process_count() > 1): falls back to the
+        orbax-backed sharded directory format, each process writing
+        only its own shards."""
+        from darknet_tpu.train import checkpoint as ck
+
+        os.makedirs(self.save_dir, exist_ok=True)
+        path = path or self.state_path
+        if jax.process_count() > 1:
+            path = path[:-len(".npz")] if path.endswith(".npz") else path
+            ck.save_checkpoint_sharded(path, self.params, self.opt_state,
+                                       seen=self.seen,
+                                       rng_key=np.asarray(self._key))
+        else:
+            ck.save_checkpoint(path, jax.device_get(self.params),
+                               jax.device_get(self.opt_state),
+                               seen=self.seen, rng_key=np.asarray(self._key))
+        self.log(f"Saving full train state to {path}")
+        return path
+
+    def load_state(self, path: str | None = None) -> None:
+        """Restore params/opt/seen/rng from a full-state checkpoint
+        written by save_state (exact resume)."""
+        from darknet_tpu.train import checkpoint as ck
+
+        path = path or self.state_path
+        if os.path.isdir(path):
+            loader = ck.load_checkpoint_sharded
+        else:
+            loader = ck.load_checkpoint
+        params, opt, seen, rng = loader(path, self.params, self.opt_state)
+        self.params, self.opt_state, self.seen = params, opt, seen
+        if rng is not None:
+            self._key = jnp.asarray(rng)
+        if getattr(self, "loader", None) is not None:
+            # continue the loader's seed stream where the saved run left
+            # it, so the resumed run sees the same batches the
+            # uninterrupted run would have
+            self.loader.fast_forward(self.curr_iter)
+        self.log(f"Resumed full train state from {path} "
+                 f"(iteration {self.curr_iter})")
 
     def save(self, suffix: str = "") -> str:
         os.makedirs(self.save_dir, exist_ok=True)
