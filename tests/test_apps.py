@@ -245,3 +245,41 @@ def test_cli_image_mode_device_nms(tmp_path, fixtures_dir):
           "-device_nms", "on",
           "-out_dir", str(tmp_path / "out")])
     assert (tmp_path / "out" / "det_t.jpg").exists()
+
+
+def test_cli_video_mode_end_to_end(tmp_path, fixtures_dir):
+    """BASELINE config 4 smoke: `-mode video` drives capture -> predict ->
+    NMS -> tracking -> proc-time overlay -> mp4 writer on a synthetic
+    clip (yolo_core.cpp:219-274)."""
+    import cv2
+
+    from darknet_tpu.apps.cli import main
+
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                        (160, 120))
+    for t in range(6):
+        f = np.full((120, 160, 3), 110, np.uint8)
+        cv2.rectangle(f, (20 + 8 * t, 30), (60 + 8 * t, 80),
+                      (40, 90, 210), -1)
+        w.write(f)
+    w.release()
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+
+    main(["-mode", "video",
+          "-data_file", str(data),
+          "-model_file", os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+          "-weights_file", "/nonexistent",
+          "-input_file", vid,
+          "-thresh", "0.3",
+          "-save_output",
+          "-out_dir", str(tmp_path / "out")])
+    out = tmp_path / "out" / "clip_out.mp4"
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
+    cap.release()
