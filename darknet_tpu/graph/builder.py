@@ -87,11 +87,50 @@ class Graph:
                     out[s].append(i)
         return out
 
+    def receptive_fields(self) -> list:
+        """Per-layer theoretical receptive field (w, h), replicating the
+        `show_receptive_field` recurrence exactly (parser.cpp:1260-1315)
+        including its quirks: [upsample]/[reorg3d] divide the running
+        scale by their stride (integer division), [route] takes the max
+        over its inputs, and every other layer grows the field by
+        (size + 2*(dilation-1) - 1) * scale then multiplies the scale by
+        its stride."""
+        rw = rh = rws = rhs = 1
+        per_layer: dict = {}
+        out = []
+        for i, l in enumerate(self.layers):
+            dilation = max(1, getattr(l, "dilation", 1) or 1)
+            stride = max(1, getattr(l, "stride", None)
+                         or getattr(l, "stride_x", 1) or 1)
+            size = max(1, getattr(l, "size", 1) or 1)
+            if l.kind in ("upsample", "reorg3d"):
+                rws //= stride
+                rhs //= stride
+            elif l.kind == "route":
+                rw = rh = rws = rhs = 0
+                for k in l.input_indices():
+                    fw, fh, fws, fhs = per_layer.get(k, (0, 0, 0, 0))
+                    rw, rh = max(rw, fw), max(rh, fh)
+                    rws, rhs = max(rws, fws), max(rhs, fhs)
+            else:
+                inc = max(0, size + (dilation - 1) * 2 - 1)
+                rw += inc * rws
+                rh += inc * rhs
+                rws *= stride
+                rhs *= stride
+            per_layer[i] = (rw, rh, rws, rhs)
+            out.append((rw, rh))
+        return out
+
     def layer_table(self) -> str:
         """Human-readable per-layer table like the reference stderr output."""
+        rf = self.receptive_fields() if self.net.show_receptive_field else None
         lines = ["   layer   filters  size/strd(dil)      input                output"]
         for l in self.layers:
             lines.append(_format_layer_row(l))
+            if rf is not None:
+                w, h = rf[l.index]
+                lines.append(f"{l.index:4d} - receptive field: {w} x {h} ")
         lines.append(f"Total BFLOPS {self.total_bflops:5.3f}")
         return "\n".join(lines)
 
@@ -206,6 +245,8 @@ def _parse_net_options(s: Section, train: bool) -> NetConfig:
     net.exposure = s.get_float("exposure", 1.0)
     net.hue = s.get_float("hue", 0.0)
     net.power = s.get_float("power", net.power)
+    net.show_receptive_field = bool(
+        s.get_float("show_receptive_field", 0.0))
     return net
 
 

@@ -110,6 +110,9 @@ class NetConfig:
     # bookkeeping
     inputs: int = 0
     max_iter: int = 0          # set by the trainer: iter_per_epoch * max_epoch
+    # diagnostics: print per-layer receptive fields in the layer table
+    # (parser.cpp:1126-1315, quiet option `show_receptive_field`)
+    show_receptive_field: bool = False
 
     @property
     def optimizer_batch(self) -> int:

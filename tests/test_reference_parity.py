@@ -419,3 +419,47 @@ classes=3
 anchors=10,14, 23,27
 """
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
+
+
+def test_receptive_field_golden(harness, tmp_path, rng):
+    """`show_receptive_field=1` per-layer receptive fields match the
+    reference's own printout exactly (parser.cpp:1260-1315) — including
+    the upsample scale-division and route-max quirks (yolov4-tiny has
+    grouped routes, maxpools and an upsample)."""
+    import re
+
+    from darknet_tpu import model_zoo
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.nn.network import Network
+
+    cfg_text = model_zoo.yolov4_tiny_cfg(160, 160).replace(
+        "[net]", "[net]\nshow_receptive_field=1", 1)
+    cfg_path = str(tmp_path / "rf.cfg")
+    open(cfg_path, "w").write(cfg_text)
+    weights = str(tmp_path / "rf.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=3).save_weights(weights)
+
+    x = np.ascontiguousarray(np.transpose(
+        rng.uniform(0, 1, (160, 160, 3)).astype(np.float32), (2, 0, 1)))
+    inb = os.path.join(BUILD_DIR, "rf_in.bin")
+    outb = os.path.join(BUILD_DIR, "rf_out.bin")
+    x.astype("<f4").tofile(inb)
+    res = subprocess.run([harness, cfg_path, weights, inb, outb,
+                          "0.25", "0.45"], check=True, capture_output=True,
+                         timeout=900, cwd=BUILD_DIR, text=True)
+    ref = {int(m.group(1)): (int(m.group(2)), int(m.group(3)))
+           for m in re.finditer(
+               r"^\s*(\d+) - receptive field: (\d+) x (\d+)",
+               res.stderr, re.M)}
+    assert ref, "reference printed no receptive-field lines"
+
+    g = build_graph(cfg_path)
+    assert g.net.show_receptive_field
+    ours = g.receptive_fields()
+    assert len(ref) == len(ours)
+    for i, (w, h) in enumerate(ours):
+        assert ref[i] == (w, h), f"layer {i}: ours {(w, h)} ref {ref[i]}"
+    # the table printer carries the same numbers
+    table = g.layer_table()
+    assert f"- receptive field: {ours[-1][0]} x {ours[-1][1]}" in table
