@@ -247,6 +247,9 @@ def _parse_net_options(s: Section, train: bool) -> NetConfig:
     net.power = s.get_float("power", net.power)
     net.show_receptive_field = bool(
         s.get_float("show_receptive_field", 0.0))
+    # accepted no-op: CUDA delta-buffer sharing (parser.cpp:1411-1453) —
+    # XLA's buffer assignment subsumes the reference's optimized_memory
+    s.get_int("optimized_memory", 0)
     return net
 
 
@@ -287,6 +290,9 @@ def _parse_conv(s: Section, p: dict, index: int, layers: list[LayerIR]) -> ConvI
     if bool(s.get_int("xnor", 0)):
         groups = 1
     groups = max(groups, 1)
+    # accepted no-op: XNOR binary output buffers (parser.cpp:196) have no
+    # analogue on the MXU — the int8 path is the low-precision mode here
+    s.get_int("bin_output", 0)
 
     blur_sx, blur_sy = stride_x, stride_y
     if antialiasing:
