@@ -104,6 +104,10 @@ def save_checkpoint_sharded(path, params, opt_state, seen: int,
     params/opt live distributed over a multi-host mesh.  `path` must be
     a directory path (created; existing contents replaced).
     """
+    import os
+    import shutil
+
+    import jax
     import orbax.checkpoint as ocp
 
     tree = {"params": params, "opt": opt_state,
@@ -112,9 +116,19 @@ def save_checkpoint_sharded(path, params, opt_state, seen: int,
         tree["meta"]["rng"] = rng_key
     if extra:
         tree["extra"] = {k: np.asarray(v) for k, v in extra.items()}
-    path = ocp.test_utils.erase_and_create_empty(str(path))
+    path = str(path)
+    # rolling overwrite: only process 0 clears the directory, then all
+    # processes rendezvous before any shard is written
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("darknet_tpu:ckpt_dir_ready")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path / "state", tree)
+    ckptr.save(os.path.join(path, "state"), tree)
     ckptr.wait_until_finished()
 
 

@@ -160,3 +160,103 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
             np.testing.assert_allclose(
                 got[f"{i}.{k}"], np.asarray(v), rtol=1e-5, atol=1e-6,
                 err_msg=f"layer {i} param {k}")
+
+
+CKPT_WORKER = r'''
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, repo, cfg_path, ckdir = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import numpy as np
+from jax.sharding import Mesh
+
+sys.path.insert(0, repo)
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.parallel import make_dp_train_step, replicate
+from darknet_tpu.parallel.multihost import (make_global_batch,
+                                            process_batch_slice)
+from darknet_tpu.train.checkpoint import (load_checkpoint_sharded,
+                                          save_checkpoint_sharded)
+from darknet_tpu.train.step import init_opt_state
+
+graph = build_graph(cfg_path, train=True)
+params = paramlib.init_params(graph, seed=5)
+opt_state = init_opt_state(graph, params)
+mesh = Mesh(np.array(jax.devices()).reshape(-1), ("dp",))
+
+B = 8
+rng = np.random.default_rng(99)
+x_full = rng.uniform(0, 1, (B, 32, 32, 3)).astype(np.float32)
+y_full = np.zeros((B, 90, 5), np.float32)
+y_full[:, 0] = [0.5, 0.5, 0.4, 0.4, 0]
+start, size = process_batch_slice(B)
+x = make_global_batch(mesh, x_full[start:start + size])
+y = make_global_batch(mesh, y_full[start:start + size])
+
+import jax.numpy as jnp
+step = make_dp_train_step(graph, mesh, donate=False)
+key = replicate(mesh, jax.random.PRNGKey(0))
+params2, opt2, cost, mets = step(params, opt_state, x, y, key,
+                                 replicate(mesh, jnp.float32(1e-3)))
+
+# every process writes only its own shards; process 0 coordinates
+save_checkpoint_sharded(ckdir, params2, opt2, seen=B,
+                        rng_key=np.asarray(jax.random.PRNGKey(0)))
+p3, o3, seen, rkey = load_checkpoint_sharded(ckdir, params2, opt2)
+assert seen == B, seen
+
+# restored shards must equal the live ones on THIS process
+for a, b in zip(jax.tree_util.tree_leaves(params2),
+                jax.tree_util.tree_leaves(p3)):
+    assert b.sharding == a.sharding
+    for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(sb.data),
+                                      np.asarray(sa.data))
+for a, b in zip(jax.tree_util.tree_leaves(opt2),
+                jax.tree_util.tree_leaves(o3)):
+    for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(sb.data),
+                                      np.asarray(sa.data))
+print(f"proc {pid} ckpt ok", flush=True)
+'''
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo/linux only")
+def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
+    """Multi-host sharded checkpoint: two real processes save a
+    dp-sharded train state (each persisting only its addressable
+    shards, orbax coordinating) and restore it bit-exactly onto the
+    same global mesh."""
+    cfg_path = tmp_path / "m.cfg"
+    cfg_path.write_text(CFG)
+    worker = tmp_path / "ckpt_worker.py"
+    worker.write_text(CKPT_WORKER)
+    ckdir = tmp_path / "ck"
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(i), repo, str(cfg_path),
+         str(ckdir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+        assert "ckpt ok" in o
