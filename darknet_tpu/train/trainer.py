@@ -227,6 +227,7 @@ class DetectorTrainer:
         """Run the training loop.  Returns the final avg loss."""
         net = self.net
         avg_loss = -1.0
+        avg_time = -1.0
         best_map = 0.0
         iter_save = self.curr_iter
         iter_map = max(net.burn_in, self.curr_iter)
@@ -275,9 +276,15 @@ class DetectorTrainer:
             avg_loss = loss if avg_loss < 0 else avg_loss * 0.9 + loss * 0.1
             it = self.curr_iter
             dt = time.perf_counter() - t0
+            # hours-left estimate, EMA alpha=0.01 like the reference
+            # (detector.cpp:130,255-266)
+            remaining = (net.max_iter - it) * dt / 3600.0
+            avg_time = remaining if avg_time < 0 else \
+                0.01 * remaining + 0.99 * avg_time
             self.log(f"[{it:04d}] loss: {loss:.2f}, avg loss: "
                      f"{avg_loss:.2f}, lr: {lr:.2e}, images: "
-                     f"{it * net.optimizer_batch}, {dt:.2f}s/iter")
+                     f"{it * net.optimizer_batch}, {avg_time:.2f} hours "
+                     f"left ({dt:.2f}s/iter)")
             self.metrics.step(
                 it, loss=loss, avg_loss=avg_loss, lr=lr,
                 imgs_per_sec=net.optimizer_batch / max(dt, 1e-9),
