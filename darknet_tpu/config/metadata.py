@@ -6,7 +6,7 @@ A `.data` file is flat key=value, e.g.::
     train   = train.txt
     valid   = val.txt
     names   = coco.names
-    backup  = backup/
+    save    = save/        (AlexeyAB-style `backup =` also accepted)
 
 `Metadata::Get` (reference `option_list.cpp:40-99`) loads the class-name list
 and validates that its length matches `classes`.
@@ -38,7 +38,8 @@ class Metadata:
     names: list[str]
     train_list: str | None = None
     valid_list: str | None = None
-    backup_dir: str = "backup"
+    backup_dir: str = "save"     # the reference's default save dir
+                                 # (option_list.cpp:49)
     options: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
@@ -68,7 +69,9 @@ class Metadata:
             names=names,
             train_list=opts.get("train"),
             valid_list=opts.get("valid"),
-            backup_dir=opts.get("backup", "backup"),
+            # this fork's key is `save` (default "save", option_list.cpp:49);
+            # AlexeyAB-style .data files use `backup` — accept both
+            backup_dir=opts.get("save", opts.get("backup", "save")),
             options=opts,
         )
 
