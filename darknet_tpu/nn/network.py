@@ -48,11 +48,15 @@ class Detection:
 
 
 def detections_to_json(dets: list, frame_id: int = 0,
-                       names: list | None = None) -> str:
-    """Detection2Json (network.cpp:531-593)."""
+                       names: list | None = None,
+                       filename: str | None = None) -> str:
+    """Detection2Json (network.cpp:531-593): classes named `dont_show*`
+    are skipped and the filename rides in the header when given."""
     objects = []
     for d in dets:
         for j in np.nonzero(d.prob > 0)[0]:
+            if names and str(names[j]).startswith("dont_show"):
+                continue                       # network.cpp:556-558
             x, y, w, h = d.bbox
             objects.append({
                 "class_id": int(j),
@@ -63,8 +67,11 @@ def detections_to_json(dets: list, frame_id: int = 0,
                 },
                 "confidence": float(d.prob[j]),
             })
-    return json.dumps(
-        {"frame_id": frame_id, "objects": objects}, indent=1)
+    out: dict = {"frame_id": frame_id}
+    if filename is not None:
+        out["filename"] = filename             # network.cpp:542-545
+    out["objects"] = objects
+    return json.dumps(out, indent=1)
 
 
 class Network:

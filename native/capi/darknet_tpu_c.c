@@ -29,7 +29,8 @@ static void ensure_python(void)
   g_inited = 1;
 }
 
-dtpu_net dtpu_load(const char* cfg_path, const char* weights_path)
+dtpu_net dtpu_load2(const char* cfg_path, const char* weights_path,
+                    int train, int clear)
 {
   ensure_python();
   PyGILState_STATE gil = PyGILState_Ensure();
@@ -49,6 +50,11 @@ dtpu_net dtpu_load(const char* cfg_path, const char* weights_path)
     PyDict_SetItemString(kw, "weights", w);
     Py_DECREF(w);
   }
+  if (train) {
+    PyDict_SetItemString(kw, "train", Py_True);
+    PyDict_SetItemString(kw, "fuse", Py_False);
+  }
+  if (clear) PyDict_SetItemString(kw, "clear", Py_True);
   PyObject* net = PyObject_Call(from_cfg, args, kw);
   Py_DECREF(from_cfg);
   Py_DECREF(args);
@@ -58,6 +64,11 @@ dtpu_net dtpu_load(const char* cfg_path, const char* weights_path)
 done:
   PyGILState_Release(gil);
   return handle;
+}
+
+dtpu_net dtpu_load(const char* cfg_path, const char* weights_path)
+{
+  return dtpu_load2(cfg_path, weights_path, 0, 0);
 }
 
 static long net_attr_int(dtpu_net net, const char* attr)
@@ -177,6 +188,133 @@ done:
   if (PyErr_Occurred()) PyErr_Print();
   PyGILState_Release(gil);
   return n;
+}
+
+int dtpu_save_weights(dtpu_net net, const char* path)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int rc = -1;
+  PyObject* r = PyObject_CallMethod((PyObject*)net, "save_weights", "s",
+                                    path);
+  if (r) { rc = 0; Py_DECREF(r); } else { PyErr_Print(); }
+  PyGILState_Release(gil);
+  return rc;
+}
+
+/* build an HWC float32 numpy array from the caller's buffer using the
+   net's input dims (shared by dtpu_detect and dtpu_detect_json) */
+static PyObject* wrap_input(dtpu_net net, const float* rgb)
+{
+  PyObject* cfg = PyObject_GetAttrString((PyObject*)net, "net");
+  if (!cfg) return NULL;
+  PyObject *pw = PyObject_GetAttrString(cfg, "w"),
+           *ph = PyObject_GetAttrString(cfg, "h"),
+           *pc = PyObject_GetAttrString(cfg, "c");
+  Py_DECREF(cfg);
+  if (!pw || !ph || !pc) {
+    Py_XDECREF(pw); Py_XDECREF(ph); Py_XDECREF(pc);
+    return NULL;
+  }
+  int w = (int)PyLong_AsLong(pw), h = (int)PyLong_AsLong(ph),
+      c = (int)PyLong_AsLong(pc);
+  Py_DECREF(pw); Py_DECREF(ph); Py_DECREF(pc);
+  PyObject* np = PyImport_ImportModule("numpy");
+  if (!np) return NULL;
+  Py_ssize_t nbytes = (Py_ssize_t)h * w * c * (Py_ssize_t)sizeof(float);
+  PyObject* bytes = PyBytes_FromStringAndSize((const char*)rgb, nbytes);
+  PyObject* frombuffer = PyObject_GetAttrString(np, "frombuffer");
+  PyObject* arr1d = PyObject_CallFunction(frombuffer, "Os", bytes,
+                                          "float32");
+  Py_DECREF(frombuffer);
+  Py_DECREF(bytes);
+  Py_DECREF(np);
+  if (!arr1d) return NULL;
+  PyObject* arr = PyObject_CallMethod(arr1d, "reshape", "(iii)", h, w, c);
+  Py_DECREF(arr1d);
+  return arr;
+}
+
+char* dtpu_detect_json(dtpu_net net, const float* rgb, float thresh,
+                       float nms, long long frame_id, const char* filename)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  char* out = NULL;
+  PyObject *arr = NULL, *dets = NULL, *mod = NULL, *fn = NULL, *js = NULL;
+  arr = wrap_input(net, rgb);
+  if (!arr) goto done;
+  dets = PyObject_CallMethod((PyObject*)net, "detect", "Off", arr,
+                             (double)thresh, (double)nms);
+  if (!dets) goto done;
+  mod = PyImport_ImportModule("darknet_tpu.nn.network");
+  if (!mod) goto done;
+  fn = PyObject_GetAttrString(mod, "detections_to_json");
+  if (!fn) goto done;
+  {
+    PyObject* fargs = Py_BuildValue("(OL)", dets, frame_id);
+    PyObject* fkw = PyDict_New();
+    if (filename) {
+      PyObject* f = PyUnicode_FromString(filename);
+      PyDict_SetItemString(fkw, "filename", f);
+      Py_DECREF(f);
+    }
+    js = PyObject_Call(fn, fargs, fkw);
+    Py_DECREF(fargs);
+    Py_DECREF(fkw);
+  }
+  if (!js) goto done;
+  {
+    const char* s = PyUnicode_AsUTF8(js);
+    if (s) out = strdup(s);
+  }
+done:
+  Py_XDECREF(js); Py_XDECREF(fn); Py_XDECREF(mod);
+  Py_XDECREF(dets); Py_XDECREF(arr);
+  if (PyErr_Occurred()) PyErr_Print();
+  PyGILState_Release(gil);
+  return out;
+}
+
+void dtpu_free_str(char* s) { free(s); }
+
+float dtpu_validate(dtpu_net net, const char* data_file, float iou_thresh)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  float v = -1.0f;
+  PyObject *mdmod = NULL, *mdcls = NULL, *md = NULL, *paths = NULL,
+           *evmod = NULL, *fn = NULL, *kw = NULL, *args = NULL, *res = NULL;
+  mdmod = PyImport_ImportModule("darknet_tpu.config.metadata");
+  if (!mdmod) goto done;
+  mdcls = PyObject_GetAttrString(mdmod, "Metadata");
+  if (!mdcls) goto done;
+  md = PyObject_CallMethod(mdcls, "from_file", "s", data_file);
+  if (!md) goto done;
+  paths = PyObject_CallMethod(md, "load_paths", "s", "valid");
+  if (!paths) goto done;
+  evmod = PyImport_ImportModule("darknet_tpu.eval.map");
+  if (!evmod) goto done;
+  fn = PyObject_GetAttrString(evmod, "validate_detector");
+  if (!fn) goto done;
+  {
+    PyObject* classes = PyObject_GetAttrString(md, "classes");
+    if (!classes) goto done;
+    args = Py_BuildValue("(OOO)", (PyObject*)net, paths, classes);
+    Py_DECREF(classes);
+  }
+  kw = Py_BuildValue("{s:f,s:O}", "iou_thresh", (double)iou_thresh,
+                     "progress", Py_False);
+  res = PyObject_Call(fn, args, kw);
+  if (!res) goto done;
+  {
+    PyObject* m = PyObject_GetAttrString(res, "map");
+    if (m) { v = (float)PyFloat_AsDouble(m); Py_DECREF(m); }
+  }
+done:
+  Py_XDECREF(res); Py_XDECREF(kw); Py_XDECREF(args); Py_XDECREF(fn);
+  Py_XDECREF(evmod); Py_XDECREF(paths); Py_XDECREF(md); Py_XDECREF(mdcls);
+  Py_XDECREF(mdmod);
+  if (PyErr_Occurred()) PyErr_Print();
+  PyGILState_Release(gil);
+  return v;
 }
 
 void dtpu_free(dtpu_net net)

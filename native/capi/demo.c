@@ -34,6 +34,29 @@ int main(int argc, char** argv)
         dets[i].best_class, dets[i].best_prob, dets[i].x, dets[i].y,
         dets[i].w, dets[i].h);
 
+  char* js = dtpu_detect_json(net, img, thresh, 0.45f, 7, "demo.jpg");
+  if (!js) { fprintf(stderr, "json failed\n"); return 4; }
+  printf("json head: %.40s\n", js);
+  if (!strstr(js, "\"frame_id\": 7") || !strstr(js, "demo.jpg")) {
+    fprintf(stderr, "json missing fields\n");
+    return 4;
+  }
+  dtpu_free_str(js);
+
+  /* saving needs unfused BN: load train-style (LoadNetwork train flag),
+     and the fused inference net must REFUSE to serialize */
+  if (dtpu_save_weights(net, "/tmp/dtpu_demo.weights") == 0) {
+    fprintf(stderr, "fused save should have failed\n");
+    return 5;
+  }
+  dtpu_net tnet = dtpu_load2(argv[1], weights, 1, 0);
+  if (!tnet || dtpu_save_weights(tnet, "/tmp/dtpu_demo.weights") != 0) {
+    fprintf(stderr, "train-load save failed\n");
+    return 5;
+  }
+  dtpu_free(tnet);
+  printf("weights saved\n");
+
   free(img);
   dtpu_free(net);
   printf("ok\n");

@@ -37,3 +37,15 @@ def test_c_client_end_to_end(demo, fixtures_dir):
     n = int([ln for ln in r.stdout.splitlines()
              if ln.startswith("detections:")][0].split()[1])
     assert n > 0
+    # Detection2Json analogue produced a frame header with the filename
+    assert "json head:" in r.stdout
+    # SaveWeights path: fused save refused, train-style load saved —
+    # and the stream round-trips through the Python reader
+    assert "weights saved" in r.stdout
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.weights.io import load_weights
+
+    g = build_graph(os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+                    train=True)
+    params, seen, _ = load_weights(g, "/tmp/dtpu_demo.weights")
+    assert any(p for p in params)
