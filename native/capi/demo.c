@@ -57,6 +57,12 @@ int main(int argc, char** argv)
   dtpu_free(tnet);
   printf("weights saved\n");
 
+  if (argc > 4 && argv[4][0]) {
+    float m = dtpu_validate(net, argv[4], 0.5f);
+    if (m < 0) { fprintf(stderr, "validate failed\n"); return 6; }
+    printf("mAP: %.4f\n", m);
+  }
+
   free(img);
   dtpu_free(net);
   printf("ok\n");

@@ -49,3 +49,39 @@ def test_c_client_end_to_end(demo, fixtures_dir):
                     train=True)
     params, seen, _ = load_weights(g, "/tmp/dtpu_demo.weights")
     assert any(p for p in params)
+
+
+def test_c_client_validate(demo, fixtures_dir, tmp_path):
+    """dtpu_validate: mAP over a .data valid list from the C surface."""
+    import cv2
+    import numpy as np
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    paths = []
+    for i in range(3):
+        img = np.full((120, 160, 3), 100, np.uint8)
+        cv2.rectangle(img, (40, 30), (120, 90), (200, 80, 40), -1)
+        p = str(ds / f"v{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"v{i}.txt"), "w").write("0 0.5 0.5 0.5 0.5\n")
+        paths.append(p)
+    (tmp_path / "valid.list").write_text("\n".join(paths))
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n"
+                    f"valid={tmp_path / 'valid.list'}\n")
+
+    env = dict(os.environ)
+    env["DTPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [demo, os.path.join(fixtures_dir, "yolov3-tiny.cfg"), "", "0.25",
+         str(data)],
+        env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("mAP:")]
+    assert line, r.stdout
+    m = float(line[0].split()[1])
+    assert 0.0 <= m <= 1.0       # random weights: any valid mAP value
