@@ -228,7 +228,10 @@ class DetectionLoader:
         if n <= 0:
             return
         with self._lock:
-            self._pending.result()               # discard in-flight batch
+            # discard the in-flight batch; cancel skips the (expensive)
+            # assembly when the assembler hasn't started it yet
+            if not self._pending.cancel():
+                self._pending.result()
             for _ in range(n - 1):               # discard seeds 2..n
                 self.rng.integers(0, 2 ** 31)
             self._kickoff()                      # batch n+1 in flight

@@ -55,12 +55,14 @@ def detections_to_json(dets: list, frame_id: int = 0,
     objects = []
     for d in dets:
         for j in np.nonzero(d.prob > 0)[0]:
-            if names and str(names[j]).startswith("dont_show"):
+            name = (str(names[j]) if names and j < len(names)
+                    else str(int(j)))
+            if name.startswith("dont_show"):
                 continue                       # network.cpp:556-558
             x, y, w, h = d.bbox
             objects.append({
                 "class_id": int(j),
-                "name": names[j] if names else str(int(j)),
+                "name": name,
                 "relative_coordinates": {
                     "center_x": float(x), "center_y": float(y),
                     "width": float(w), "height": float(h),

@@ -41,6 +41,8 @@ def _flatten(tree, prefix, out):
 
 def save_checkpoint(path, params, opt_state, seen: int, rng_key=None,
                     extra: dict | None = None) -> None:
+    import os
+
     out: dict = {}
     _flatten(params, "params", out)
     _flatten(opt_state, "opt", out)
@@ -49,11 +51,16 @@ def save_checkpoint(path, params, opt_state, seen: int, rng_key=None,
         out["meta/rng"] = np.asarray(rng_key)
     for k, v in (extra or {}).items():
         out[f"extra/{k}"] = np.asarray(v)
-    np.savez_compressed(path, **out)
+    # atomic rolling overwrite: a kill mid-write must not destroy the
+    # previous good checkpoint (this file IS the crash-recovery state)
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **out)
+    os.replace(tmp, str(path))
 
 
 def load_checkpoint(path, params_template, opt_template):
-    """Restore (params, opt_state, seen, rng_key) shaped like the
+    """Restore (params, opt_state, seen, rng_key, extra) shaped like the
     templates (lists of dicts / optimizer-state dicts)."""
     data = np.load(path, allow_pickle=False)
 
@@ -77,7 +84,9 @@ def load_checkpoint(path, params_template, opt_template):
     opt_state = rebuild(opt_template, "opt")
     seen = int(data["meta/seen"])
     rng_key = data["meta/rng"] if "meta/rng" in data else None
-    return params, opt_state, seen, rng_key
+    extra = {k[len("extra/"):]: data[k] for k in data.files
+             if k.startswith("extra/")}
+    return params, opt_state, seen, rng_key, extra
 
 
 # ---------------------------------------------------------------------------
@@ -116,24 +125,43 @@ def save_checkpoint_sharded(path, params, opt_state, seen: int,
         tree["meta"]["rng"] = rng_key
     if extra:
         tree["extra"] = {k: np.asarray(v) for k, v in extra.items()}
-    path = str(path)
-    # rolling overwrite: only process 0 clears the directory, then all
-    # processes rendezvous before any shard is written
+    path = os.path.abspath(str(path))      # orbax requires absolute paths
+    # atomic rolling overwrite: write into a sibling tmp dir, then swap —
+    # a crash mid-save must leave the previous good checkpoint intact.
+    # Only process 0 touches directories; everyone rendezvouses around it.
+    tmp = path + ".tmp"
     if jax.process_index() == 0:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.makedirs(path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("darknet_tpu:ckpt_dir_ready")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), tree)
+    ckptr.save(os.path.join(tmp, "state"), tree)
     ckptr.wait_until_finished()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("darknet_tpu:ckpt_save_done")
+    if jax.process_index() == 0:
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("darknet_tpu:ckpt_swapped")
 
 
 def load_checkpoint_sharded(path, params_template, opt_template):
-    """Restore (params, opt_state, seen, rng_key) from a sharded
+    """Restore (params, opt_state, seen, rng_key, extra) from a sharded
     checkpoint directory.  Template leaves that are sharded jax.Arrays
     (or ShapeDtypeStructs with shardings) come back placed on the same
     mesh/sharding; numpy template leaves come back as host numpy."""
@@ -148,7 +176,7 @@ def load_checkpoint_sharded(path, params_template, opt_template):
         "meta": {"seen": np.asarray(0, np.int64)},
     }
     ckptr = ocp.StandardCheckpointer()
-    state_dir = os.path.join(str(path), "state")
+    state_dir = os.path.join(os.path.abspath(str(path)), "state")
     # probe the saved tree for the optional keys before shaping the template
     meta = ckptr.metadata(state_dir)
     saved = meta.item_metadata if hasattr(meta, "item_metadata") else meta
@@ -163,4 +191,5 @@ def load_checkpoint_sharded(path, params_template, opt_template):
     restored = ckptr.restore(state_dir, abstract)
     return (restored["params"], restored["opt"],
             int(restored["meta"]["seen"]),
-            restored["meta"].get("rng"))
+            restored["meta"].get("rng"),
+            restored.get("extra", {}))

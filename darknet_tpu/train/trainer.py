@@ -92,6 +92,9 @@ class DetectorTrainer:
         # (after the loader exists, so the data stream fast-forwards too)
         self.full_state = full_state
         self._key = jax.random.PRNGKey(0)
+        self._avg_loss = -1.0        # EMA loss; persisted for exact resume
+        self._best_map = 0.0         # best in-training mAP; persisted too
+        self._dims = None            # current multi-scale bucket; persisted
         self.state_path = os.path.join(save_dir,
                                        f"{save_name}_last.ckpt.npz")
         self._resume = resume
@@ -203,13 +206,14 @@ class DetectorTrainer:
         import jax.numpy as jnp
         return jnp.bfloat16 if self.act16 else None
 
-    def _pick_dims(self, avg_loss) -> tuple:
+    def _pick_dims(self, avg_loss, at_iter: int | None = None) -> tuple:
         net = self.net
+        it = self.curr_iter if at_iter is None else at_iter
         if not self.random_coef:
             return net.w, net.h
         coef = 1.4 if abs(self.random_coef - 1.0) <= 1e-6 else \
             self.random_coef
-        rng = np.random.default_rng(self.curr_iter)
+        rng = np.random.default_rng(it)
         scale = rng.uniform(1.0, coef)
         if rng.integers(0, 2):
             scale = 1.0 / scale
@@ -218,7 +222,7 @@ class DetectorTrainer:
         dim_h = int(round(scale * net.h / step + 1)) * step
         max_w = int(round(coef * net.w / step + 1)) * step
         max_h = int(round(coef * net.h / step + 1)) * step
-        if avg_loss < 0 or self.curr_iter > net.max_iter - 100:
+        if avg_loss < 0 or it > net.max_iter - 100:
             dim_w, dim_h = max_w, max_h
         return max(dim_w, step), max(dim_h, step)
 
@@ -226,21 +230,27 @@ class DetectorTrainer:
     def train(self, max_iters: int | None = None, map_hook=None):
         """Run the training loop.  Returns the final avg loss."""
         net = self.net
-        avg_loss = -1.0
+        avg_loss = self._avg_loss      # restored across -resume
         avg_time = -1.0
-        best_map = 0.0
+        best_map = self._best_map      # restored: don't clobber _best
         iter_save = self.curr_iter
         iter_map = max(net.burn_in, self.curr_iter)
         map_step = max(100, self.iter_per_epoch)
         end_iter = net.max_iter if max_iters is None else \
             min(net.max_iter, self.curr_iter + max_iters)
         count = 0
-        dim_w, dim_h = net.w, net.h
+        dim_w, dim_h = self._dims if self._dims else (net.w, net.h)
         key = self._key
 
         while self.curr_iter < end_iter:
-            if self.random_coef and count % 10 == 0:
+            # multi-scale cadence keyed to the GLOBAL iteration (the
+            # reference counts per-process, detector.cpp:141 — the
+            # absolute key + per-iteration pick rng makes a resumed run
+            # hit the same boundaries the uninterrupted run did; between
+            # boundaries the restored `_dims` bucket carries over)
+            if self.random_coef and self.curr_iter % 10 == 0:
                 dim_w, dim_h = self._pick_dims(avg_loss)
+                self._dims = (dim_w, dim_h)
                 self.loader.resize(dim_w, dim_h)
                 self.log(f"Resizing: {dim_w} x {dim_h}")
             count += 1
@@ -274,6 +284,7 @@ class DetectorTrainer:
             self.seen += net.optimizer_batch
             loss = float(metrics["loss"])
             avg_loss = loss if avg_loss < 0 else avg_loss * 0.9 + loss * 0.1
+            self._avg_loss = avg_loss
             it = self.curr_iter
             dt = time.perf_counter() - t0
             # hours-left estimate, EMA alpha=0.01 like the reference
@@ -299,6 +310,7 @@ class DetectorTrainer:
                 self.metrics.map_event(it, m)
                 if m > best_map:
                     best_map = m
+                    self._best_map = m
                     self.save(suffix="best")
                 iter_map = it + map_step
                 if map_hook:
@@ -355,15 +367,20 @@ class DetectorTrainer:
 
         os.makedirs(self.save_dir, exist_ok=True)
         path = path or self.state_path
+        extra = {"avg_loss": self._avg_loss, "best_map": self._best_map}
+        if self._dims:
+            extra["dim_w"], extra["dim_h"] = self._dims
         if jax.process_count() > 1:
             path = path[:-len(".npz")] if path.endswith(".npz") else path
             ck.save_checkpoint_sharded(path, self.params, self.opt_state,
                                        seen=self.seen,
-                                       rng_key=np.asarray(self._key))
+                                       rng_key=np.asarray(self._key),
+                                       extra=extra)
         else:
             ck.save_checkpoint(path, jax.device_get(self.params),
                                jax.device_get(self.opt_state),
-                               seen=self.seen, rng_key=np.asarray(self._key))
+                               seen=self.seen, rng_key=np.asarray(self._key),
+                               extra=extra)
         self.log(f"Saving full train state to {path}")
         return path
 
@@ -377,10 +394,19 @@ class DetectorTrainer:
             loader = ck.load_checkpoint_sharded
         else:
             loader = ck.load_checkpoint
-        params, opt, seen, rng = loader(path, self.params, self.opt_state)
+        params, opt, seen, rng, extra = loader(path, self.params,
+                                               self.opt_state)
         self.params, self.opt_state, self.seen = params, opt, seen
         if rng is not None:
             self._key = jnp.asarray(rng)
+        self._avg_loss = float(extra.get("avg_loss", -1.0))
+        self._best_map = float(extra.get("best_map", 0.0))
+        if "dim_w" in extra:
+            # restore the multi-scale bucket the saved run was training
+            # at, so the resumed batches match the uninterrupted stream
+            self._dims = (int(extra["dim_w"]), int(extra["dim_h"]))
+            if getattr(self, "loader", None) is not None:
+                self.loader.resize(*self._dims)
         if getattr(self, "loader", None) is not None:
             # continue the loader's seed stream where the saved run left
             # it, so the resumed run sees the same batches the

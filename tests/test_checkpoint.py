@@ -61,7 +61,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         pa, oa, ca, _ = step(pa, oa, x, truths, key, 0.01)
 
     # restore and replay the same 2 steps -> identical result
-    params2, opt2, seen, rkey = load_checkpoint(path, params, opt)
+    params2, opt2, seen, rkey, _extra = load_checkpoint(path, params, opt)
     assert seen == 6
     pb, ob = params2, opt2
     for _ in range(2):
@@ -107,7 +107,7 @@ def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path, rng):
     save_checkpoint_sharded(ckdir, pm, om, seen=batch,
                             rng_key=np.asarray(key),
                             extra={"best_map": 0.25})
-    p2, o2, seen, rkey = load_checkpoint_sharded(ckdir, pm, om)
+    p2, o2, seen, rkey, extra = load_checkpoint_sharded(ckdir, pm, om)
     assert seen == batch
     np.testing.assert_array_equal(np.asarray(rkey), np.asarray(key))
 
@@ -202,3 +202,101 @@ max_delta=5
             np.testing.assert_array_equal(
                 np.asarray(a[k]), np.asarray(c[k]),
                 err_msg=f"layer {i} {k} diverged across resume")
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """A crash mid-save must not destroy the previous good checkpoint:
+    save goes to a tmp file then os.replace's over the old one."""
+    from darknet_tpu.train.checkpoint import (load_checkpoint,
+                                              save_checkpoint)
+
+    path = tmp_path / "s.ckpt.npz"
+    params = [{"w": np.ones((2, 2), np.float32)}]
+    opt = {"u": [{"w": np.zeros((2, 2), np.float32)}]}
+    save_checkpoint(path, params, opt, seen=7, extra={"avg_loss": 1.5})
+    p, o, seen, rng, extra = load_checkpoint(path, params, opt)
+    assert seen == 7 and float(extra["avg_loss"]) == 1.5
+    assert not (tmp_path / "s.ckpt.npz.tmp").exists()
+
+    # simulate a crash mid-write of the NEXT save: the tmp file exists,
+    # the real file still loads the previous state
+    (tmp_path / "s.ckpt.npz.tmp").write_bytes(b"garbage-partial-write")
+    p, o, seen, rng, extra = load_checkpoint(path, params, opt)
+    assert seen == 7
+
+
+def test_trainer_resume_exact_with_multiscale(tmp_path):
+    """Exact resume under multi-scale training (random=1): the restored
+    dims bucket + absolute-iteration cadence + persisted avg_loss make
+    the resumed run pick the SAME resolutions the uninterrupted run did."""
+    import cv2
+
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    paths = []
+    for i in range(4):
+        img = np.full((90, 90, 3), 60 + 12 * i, np.uint8)
+        cv2.rectangle(img, (25, 25), (65, 65), (180, 100, 60), -1)
+        p = str(ds / f"i{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"i{i}.txt"), "w").write("0 0.5 0.5 0.45 0.45\n")
+        paths.append(p)
+
+    cfg = """[net]
+batch=2
+subdivisions=1
+width=32
+height=32
+channels=3
+learning_rate=0.005
+momentum=0.9
+decay=0.0005
+max_epoch=100
+resize_step=32
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=12
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=1
+anchors=12,12, 20,20
+random=1
+iou_loss=ciou
+max_delta=5
+"""
+    logs_a, logs_c = [], []
+    mk = lambda resume, log: DetectorTrainer(
+        cfg, paths, classes=1, loader_threads=1, loader_processes=0,
+        save_dir=str(tmp_path / "bk"), save_name="ms",
+        log=log, resume=resume)
+
+    tr_a = mk(False, logs_a.append)
+    tr_a.train(max_iters=12)
+
+    tr_b = mk(False, lambda *a: None)
+    tr_b.train(max_iters=6)
+    tr_c = mk(True, logs_c.append)
+    assert tr_c.curr_iter == 6
+    tr_c.train(max_iters=6)
+
+    # the boundary-10 resize picked the same dims on both sides
+    ra = [l for l in logs_a if l.startswith("Resizing:")]
+    rc = [l for l in logs_c if l.startswith("Resizing:")]
+    assert ra[-1] == rc[-1], (ra, rc)
+
+    for i, (a, c) in enumerate(zip(tr_a.params, tr_c.params)):
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(c[k]),
+                err_msg=f"layer {i} {k} diverged across multiscale resume")

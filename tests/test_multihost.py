@@ -211,7 +211,7 @@ params2, opt2, cost, mets = step(params, opt_state, x, y, key,
 # every process writes only its own shards; process 0 coordinates
 save_checkpoint_sharded(ckdir, params2, opt2, seen=B,
                         rng_key=np.asarray(jax.random.PRNGKey(0)))
-p3, o3, seen, rkey = load_checkpoint_sharded(ckdir, params2, opt2)
+p3, o3, seen, rkey, extra = load_checkpoint_sharded(ckdir, params2, opt2)
 assert seen == B, seen
 
 # restored shards must equal the live ones on THIS process
