@@ -242,7 +242,23 @@ class DetectorTrainer:
         dim_w, dim_h = self._dims if self._dims else (net.w, net.h)
         key = self._key
 
-        while self.curr_iter < end_iter:
+        # graceful preemption: SIGTERM/SIGINT finish the current
+        # iteration, save the full resumable state, then return — on
+        # preemptible TPU pods this turns an eviction into an exact
+        # resume point (the reference crashes and loses momentum state).
+        # Only installable from the main thread; otherwise skipped.
+        import signal
+
+        stop_requested = []
+        prev_handlers = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(
+                    sig, lambda *_: stop_requested.append(True))
+        except ValueError:
+            prev_handlers = {}
+
+        while not stop_requested and self.curr_iter < end_iter:
             # multi-scale cadence keyed to the GLOBAL iteration (the
             # reference counts per-process, detector.cpp:141 — the
             # absolute key + per-iteration pick rng makes a resumed run
@@ -322,6 +338,17 @@ class DetectorTrainer:
                 if self.full_state:
                     self.save_state()
 
+        for sig, h in prev_handlers.items():
+            import signal as _signal
+
+            _signal.signal(sig, h)
+        if stop_requested:
+            self.log(f"Preempted at iteration {self.curr_iter}: "
+                     f"saving resumable state")
+            self.save(suffix="preempt")
+            if self.full_state:
+                self.save_state()
+            return avg_loss
         self.save(suffix="final")
         if self.full_state:
             self.save_state()

@@ -9,6 +9,10 @@ import jax.numpy as jnp
 from darknet_tpu.graph.builder import build_graph
 from darknet_tpu.nn import params as paramlib
 from darknet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+import os
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from darknet_tpu.train.step import init_opt_state, make_train_step
 
 CFG = """[net]
@@ -300,3 +304,97 @@ max_delta=5
             np.testing.assert_array_equal(
                 np.asarray(a[k]), np.asarray(c[k]),
                 err_msg=f"layer {i} {k} diverged across multiscale resume")
+
+
+def test_trainer_graceful_preemption(tmp_path):
+    """SIGTERM during training finishes the iteration, saves the full
+    resumable state, and exits cleanly; a -resume run continues from it."""
+    import subprocess
+    import sys
+
+    import cv2
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    paths = []
+    for i in range(4):
+        img = np.full((80, 80, 3), 90, np.uint8)
+        cv2.rectangle(img, (20, 20), (60, 60), (200, 90, 40), -1)
+        p = str(ds / f"i{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"i{i}.txt"), "w").write("0 0.5 0.5 0.5 0.5\n")
+        paths.append(p)
+
+    cfg_path = tmp_path / "m.cfg"
+    cfg_path.write_text("""[net]
+batch=2
+subdivisions=1
+width=32
+height=32
+channels=3
+learning_rate=0.01
+momentum=0.9
+decay=0.0005
+max_epoch=5000
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=12
+size=1
+activation=linear
+[yolo]
+mask=0,1
+num=2
+classes=1
+anchors=12,12, 20,20
+""")
+    worker = tmp_path / "w.py"
+    worker.write_text(f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {repr(REPO_DIR)})
+from darknet_tpu.train.trainer import DetectorTrainer
+tr = DetectorTrainer(open({repr(str(cfg_path))}).read(), {paths!r},
+                     classes=1, loader_threads=1, loader_processes=0,
+                     save_dir={repr(str(tmp_path / 'bk'))}, save_name="p")
+print("READY", flush=True)
+tr.train()          # runs until preempted
+print("EXITED_CLEANLY", tr.curr_iter, flush=True)
+""")
+    import signal
+    import time
+
+    proc = subprocess.Popen([sys.executable, str(worker)],
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    # wait for a couple of training iterations, then preempt
+    deadline = time.time() + 240
+    saw_iter = False
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if line.startswith("[000") and "loss" in line:
+            saw_iter = True
+            if "[0002]" in line or "[0003]" in line:
+                break
+    assert saw_iter
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=240)
+    assert proc.returncode == 0, out[-1200:]
+    assert "Preempted at iteration" in out
+    assert "EXITED_CLEANLY" in out
+    assert (tmp_path / "bk" / "p_last.ckpt.npz").exists()
+    assert (tmp_path / "bk" / "p_preempt.weights").exists()
+
+    # and the state is resumable
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    tr = DetectorTrainer(cfg_path.read_text(), paths, classes=1,
+                         loader_threads=1, loader_processes=0,
+                         save_dir=str(tmp_path / "bk"), save_name="p",
+                         log=lambda *a: None, resume=True)
+    assert tr.curr_iter >= 2
+    tr.train(max_iters=1)
