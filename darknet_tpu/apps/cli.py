@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="quantized inference (int8 convs, the XNOR-path "
                         "analogue); dynamic activation scales unless "
                         "-int8_calib")
+    p.add_argument("-calib_file", "--calib_file", default="",
+                   help="int8 calibration cache: load it if present, "
+                        "else save the freshly computed scales there "
+                        "(pair with -int8_calib)")
     p.add_argument("-int8_calib", "--int8_calib", type=int, default=0,
                    help="valid mode: calibrate static activation scales "
                         "on the first N val images")
@@ -114,9 +118,16 @@ def _load_network(args, train=False):
     from darknet_tpu.nn.network import Network
 
     weights = args.weights_file if os.path.exists(args.weights_file) else None
-    return Network.from_cfg(args.model_file, weights=weights, train=train,
-                            clear=args.clear,
-                            int8=getattr(args, "int8", False) and not train)
+    net = Network.from_cfg(args.model_file, weights=weights, train=train,
+                           clear=args.clear,
+                           int8=getattr(args, "int8", False) and not train)
+    calib = getattr(args, "calib_file", "")
+    if not train and getattr(args, "int8", False) and calib and \
+            os.path.exists(calib):
+        # persisted static activation scales (see mode_valid, which can
+        # also create this cache with -int8_calib -calib_file)
+        net.load_calibration(calib)
+    return net
 
 
 def _proc_frame(net, md, frame_bgr, args, track_manager=None,
@@ -302,7 +313,8 @@ def mode_valid(args):
                              compute_dtype=net.compute_dtype,
                              fused_bn=net.fused)
     paths = md.load_paths("valid")
-    if args.int8 and args.int8_calib:
+    # (_load_network already applied -calib_file if it existed)
+    if args.int8 and args.int8_calib and net._calib_absmax is None:
         # static activation scales from the first N real val images
         # (TensorRT-style calibration set)
         from darknet_tpu.data.image import (load_image_rgb,
@@ -312,6 +324,8 @@ def mode_valid(args):
                                       net.net.w, net.net.h)
                  for p in paths[:args.int8_calib]]
         net.calibrate_int8(calib)
+        if args.calib_file:
+            net.save_calibration(args.calib_file)
     # the reference's valid mode resizes with its own two-pass bilinear
     # (load_image + resize_image, data.cpp:695-698) — use the exact port
     # so CLI mAP numbers are comparable with the reference binary's

@@ -87,6 +87,7 @@ class Network:
         self.compute_dtype = compute_dtype
         self.seen = seen
         self._fwd_cache: dict = {}
+        self._calib_absmax: dict | None = None
 
     # ---------------------------------------------------------------- load
     @classmethod
@@ -158,6 +159,27 @@ class Network:
         absmax = paramlib.calibrate_conv_input_scales(
             self.graph, self.params, batches,
             compute_dtype=self.compute_dtype)
+        self._apply_calibration(absmax, region_int8=region_int8)
+
+    def save_calibration(self, path) -> None:
+        """Persist the calibrated per-conv input ranges (the TensorRT
+        'calibration cache' analogue): calibrate once on a real image
+        set, then serve many times via load_calibration without paying
+        the calibration forward passes."""
+        if self._calib_absmax is None:
+            raise ValueError("no calibration to save: run calibrate_int8 "
+                             "first")
+        np.savez(path, **{str(k): np.asarray(v, np.float32)
+                          for k, v in self._calib_absmax.items()})
+
+    def load_calibration(self, path, *, region_int8: bool = False) -> None:
+        """Apply input scales previously saved by save_calibration."""
+        data = np.load(path)
+        absmax = {int(k): float(data[k]) for k in data.files}
+        self._apply_calibration(absmax, region_int8=region_int8)
+
+    def _apply_calibration(self, absmax: dict, *, region_int8: bool) -> None:
+        self._calib_absmax = dict(absmax)
         extra = set()
         if region_int8 and self.fused:
             from darknet_tpu.nn.emit import region_conv_indices

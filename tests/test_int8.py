@@ -293,3 +293,38 @@ anchors=16,16
     sp_no = paramlib.apply_conv_input_scales(qp, absmax)
     assert float(sp_no[1]["x_scale"]) == pytest.approx(
         absmax[1] / 127.0, rel=1e-6)
+
+
+def test_calibration_cache_roundtrip(tmp_path, setup):
+    """save_calibration/load_calibration: a fresh net loading the cache
+    gets bit-identical scales (and therefore identical detections) to
+    the net that calibrated — calibrate once, serve many."""
+    from darknet_tpu.nn.network import Network
+
+    cfg_path = str(tmp_path / "q.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    rng = np.random.default_rng(9)
+    calib = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+             for _ in range(3)]
+    probe = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+
+    net_a = Network.from_cfg(cfg_path, seed=4, int8=True)
+    with pytest.raises(ValueError):
+        net_a.save_calibration(str(tmp_path / "nope.npz"))
+    net_a.calibrate_int8(calib)
+    cache = str(tmp_path / "scales.calib.npz")
+    net_a.save_calibration(cache)
+
+    net_b = Network.from_cfg(cfg_path, seed=4, int8=True)
+    net_b.load_calibration(cache)
+    for pa, pb in zip(net_a.params, net_b.params):
+        for k in pa:
+            np.testing.assert_array_equal(np.asarray(pa[k]),
+                                          np.asarray(pb[k]),
+                                          err_msg=k)
+    da = net_a.detect(probe, thresh=0.01)
+    db = net_b.detect(probe, thresh=0.01)
+    assert len(da) == len(db)
+    for a, b in zip(da, db):
+        np.testing.assert_array_equal(a.bbox, b.bbox)
