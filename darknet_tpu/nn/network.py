@@ -258,6 +258,39 @@ class Network:
             self._fwd_cache[key] = jax.jit(run)
         return self._fwd_cache[key]
 
+    def export_serving(self, path, *, batch: int = 1, thresh: float = 0.25,
+                       nms: float = 0.45, top_k: int = 256,
+                       score_dtype=None) -> None:
+        """Serialize the complete serving program — forward + decode +
+        top-k + device NMS with the weights baked in as constants — to a
+        portable `jax.export` artifact (StableHLO): the TPU-native
+        analogue of a TensorRT engine.  Deploy the one file and run it
+        with `run_exported_serving`; neither the cfg, the weights, nor
+        the graph builder are needed at serving time.  The artifact is
+        specialized to (batch, net dims, thresholds) and to the
+        platform it was exported on (TPU on a TPU host)."""
+        from jax import export as jexport
+
+        fn = self._device_detect_fn(batch, self.net.h, self.net.w,
+                                    thresh, nms, top_k, score_dtype)
+        params = self.params
+
+        exp = jexport.export(jax.jit(lambda x: fn(params, x)))(
+            jax.ShapeDtypeStruct((batch, self.net.h, self.net.w,
+                                  self.net.c), jnp.float32))
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+
+    @staticmethod
+    def run_exported_serving(path, x):
+        """Run an export_serving artifact: returns the device-detect
+        triple (boxes (B,K,4), objectness (B,K), probs (B,K,classes))."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exp = jexport.deserialize(f.read())
+        return exp.call(jnp.asarray(x, dtype=jnp.float32))
+
     def detect_batch_device(self, images, thresh: float = 0.25,
                             nms: float = 0.45, top_k: int = 256) -> list:
         """Production path: device-side postprocess, host only receives the

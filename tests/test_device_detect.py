@@ -45,3 +45,25 @@ def test_device_path_gaussian(rng):
     d_sorted = sorted(dev, key=lambda d: -d.objectness)
     for a, b in zip(h_sorted[:20], d_sorted[:20]):
         np.testing.assert_allclose(a.prob, b.prob, rtol=1e-4, atol=1e-5)
+
+
+def test_export_serving_artifact_roundtrip(rng, tmp_path):
+    """export_serving: the serialized serving program (weights baked in,
+    jax.export/StableHLO) reproduces detect_batch_device exactly when
+    deserialized and run without the Network."""
+    from darknet_tpu import model_zoo
+
+    cfg = model_zoo.yolov4_tiny_cfg(160, 160)
+    net = Network.from_cfg(cfg, seed=3)
+    x = rng.uniform(0, 1, (2, 160, 160, 3)).astype(np.float32)
+
+    live = net._device_detect_fn(2, 160, 160, 0.2, 0.45, 64)(net.params, x)
+
+    art = str(tmp_path / "serve.jaxexport")
+    net.export_serving(art, batch=2, thresh=0.2, nms=0.45, top_k=64)
+    assert os.path.getsize(art) > 1000
+    tb, ov, probs = Network.run_exported_serving(art, x)
+
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(live[0]))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(live[1]))
+    np.testing.assert_array_equal(np.asarray(probs), np.asarray(live[2]))
