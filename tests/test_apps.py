@@ -283,3 +283,51 @@ def test_cli_video_mode_end_to_end(tmp_path, fixtures_dir):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 6
     cap.release()
+
+
+def test_cli_multi_video_mode_end_to_end(tmp_path, fixtures_dir):
+    """`-mode multi-video`: two cameras through ONE batched network with
+    per-camera trackers, auto-discovered geo zones and handover
+    crosstalk wiring (yolo_core.cpp:276-392)."""
+    import cv2
+
+    from darknet_tpu.apps.cli import main
+
+    xml = """<polygons>
+      <polygon><name>HANDOVER</name><num>4</num>
+        <x0>0.0</x0><y0>0.0</y0><x1>0.5</x1><y1>0.0</y1>
+        <x2>0.5</x2><y2>1.0</y2><x3>0.0</x3><y3>1.0</y3></polygon>
+    </polygons>"""
+    vids = []
+    for cam in range(2):
+        vid = str(tmp_path / f"cam{cam}.mp4")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                            (160, 120))
+        for t in range(4):
+            f = np.full((120, 160, 3), 100 + 20 * cam, np.uint8)
+            cv2.rectangle(f, (30 + 6 * t, 40), (80 + 6 * t, 90),
+                          (50, 180, 90), -1)
+            w.write(f)
+        w.release()
+        (tmp_path / f"cam{cam}.xml").write_text(xml)
+        vids.append(vid)
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+
+    main(["-mode", "multi-video",
+          "-data_file", str(data),
+          "-model_file", os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+          "-weights_file", "/nonexistent",
+          "-input_file", ",".join(vids),
+          "-thresh", "0.3",
+          "-save_output",
+          "-out_dir", str(tmp_path / "out")])
+    for cam in range(2):
+        out = tmp_path / "out" / f"cam{cam}_out.mp4"
+        assert out.exists(), out
+        cap = cv2.VideoCapture(str(out))
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+        cap.release()
