@@ -177,6 +177,54 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None,
     return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
 
 
+def _submit_frame(net, frame_bgr, args):
+    """Streaming half 1: launch the device serving program for one frame
+    WITHOUT blocking (JAX async dispatch) — the next frame's preprocess
+    and the previous frame's draw/track/write overlap the device time.
+    Device-postprocess path only."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    if getattr(args, "letter_box", False):
+        from darknet_tpu.data.image import letterbox_image
+
+        resized = letterbox_image(rgb, net.net.w, net.net.h)
+    else:
+        resized = cv2.resize(rgb, (net.net.w, net.net.h),
+                             interpolation=cv2.INTER_LINEAR)
+    fn = net._device_detect_fn(1, net.net.h, net.net.w, args.thresh,
+                               args.nms_thresh, getattr(args, "top_k", 256))
+    return fn(net.params, jnp.asarray(resized[None]))
+
+
+def _finalize_frame(net, md, frame_bgr, out, args, track_manager=None):
+    """Streaming half 2: materialize a _submit_frame result and run the
+    host tail (letterbox correction, most-prob, track, draw)."""
+    import cv2
+
+    from darknet_tpu.apps import visualize as viz
+    from darknet_tpu.apps.tracker import get_most_prob_dets
+
+    dets = net.device_out_to_dets(*out)[0]
+    if getattr(args, "letter_box", False) and dets:
+        from darknet_tpu.data.image import correct_boxes_letterbox
+
+        ih, iw = frame_bgr.shape[:2]
+        for d in dets:
+            d.bbox = tuple(correct_boxes_letterbox(
+                np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
+    most_prob = get_most_prob_dets(dets)
+    disp_rgb = cv2.cvtColor(frame_bgr.copy(), cv2.COLOR_BGR2RGB)
+    if track_manager is not None:
+        track_manager.track(most_prob)
+        viz.draw_trackings(disp_rgb, track_manager.get_tracks(), md.names)
+    else:
+        viz.draw_detections(disp_rgb, most_prob, md.names)
+    return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
+
+
 def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
     """Batched ProcImage for N cameras: ONE network predict per frame set.
 
@@ -406,18 +454,13 @@ def mode_video(args):
 
     writer = None
     curr = 0
-    while True:
-        frame = frames_q.get()
-        if frame is None:
-            break
-        t0 = time.perf_counter()
-        display, _ = _proc_frame(net, md, frame, args, track_manager=tm)
-        dt = (time.perf_counter() - t0) * 1000
-        viz_bgr = display
-        rgb = cv2.cvtColor(viz_bgr, cv2.COLOR_BGR2RGB)
+
+    def _emit(display, dt):
+        nonlocal writer, curr
+        rgb = cv2.cvtColor(display, cv2.COLOR_BGR2RGB)
         viz.draw_proc_time(rgb, dt)
         viz.draw_frame_info(rgb, curr, max_frame)
-        viz_bgr = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+        out_bgr = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
         if args.save_output:
             if writer is None:
                 os.makedirs(args.out_dir, exist_ok=True)
@@ -426,9 +469,39 @@ def mode_video(args):
                     os.path.splitext(os.path.basename(path))[0] + "_out.mp4")
                 writer = cv2.VideoWriter(
                     out, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                    (viz_bgr.shape[1], viz_bgr.shape[0]))
-            writer.write(viz_bgr)
+                    (out_bgr.shape[1], out_bgr.shape[0]))
+            writer.write(out_bgr)
         curr += 1
+
+    if _use_device_nms(args):
+        # depth-1 streaming pipeline: submit frame N's device program
+        # before materializing frame N-1's — the device computes while
+        # the host draws, tracks and writes, hiding device+transfer
+        # latency behind host work (results stay strictly in order, so
+        # tracking semantics are unchanged)
+        pending = None     # (frame, submitted-device-output, t_submit)
+        while True:
+            frame = frames_q.get()
+            cur = None
+            if frame is not None:
+                cur = (frame, _submit_frame(net, frame, args),
+                       time.perf_counter())
+            if pending is not None:
+                pframe, pout, pt0 = pending
+                display, _ = _finalize_frame(net, md, pframe, pout, args,
+                                             track_manager=tm)
+                _emit(display, (time.perf_counter() - pt0) * 1000)
+            pending = cur
+            if frame is None:
+                break
+    else:
+        while True:
+            frame = frames_q.get()
+            if frame is None:
+                break
+            t0 = time.perf_counter()
+            display, _ = _proc_frame(net, md, frame, args, track_manager=tm)
+            _emit(display, (time.perf_counter() - t0) * 1000)
     cap.release()
     if writer is not None:
         writer.release()

@@ -299,11 +299,20 @@ class Network:
         fn = self._device_detect_fn(x.shape[0], x.shape[1], x.shape[2],
                                     thresh, nms, top_k)
         tb, ov, probs = fn(self.params, x)
+        return self.device_out_to_dets(tb, ov, probs)
+
+    @staticmethod
+    def device_out_to_dets(tb, ov, probs) -> list:
+        """Materialize a device-detect triple (boxes, objectness, probs)
+        into per-image Detection lists — the host-side tail of
+        detect_batch_device, split out so streaming callers can overlap
+        the device program with host work (JAX async dispatch) and
+        finalize later."""
         tb = np.asarray(tb)
         ov = np.asarray(ov)
         probs = np.asarray(probs)
         results = []
-        for b in range(x.shape[0]):
+        for b in range(tb.shape[0]):
             dets = []
             for i in range(tb.shape[1]):
                 if ov[b, i] <= 0 or not np.any(probs[b, i] > 0):

@@ -331,3 +331,63 @@ def test_cli_multi_video_mode_end_to_end(tmp_path, fixtures_dir):
         cap = cv2.VideoCapture(str(out))
         assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
         cap.release()
+
+
+def test_cli_video_pipelined_device_path(tmp_path, fixtures_dir):
+    """Device-postprocess video mode runs a depth-1 streaming pipeline
+    (submit N while finalizing N-1): no dropped or duplicated frames,
+    and per-frame detections equal the unpipelined _proc_frame path."""
+    import cv2
+
+    from darknet_tpu.apps.cli import (_finalize_frame, _proc_frame,
+                                      _submit_frame, main)
+    from darknet_tpu.config.metadata import Metadata
+    from darknet_tpu.nn.network import Network
+
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                        (160, 120))
+    rng = np.random.default_rng(5)
+    frames = []
+    for t in range(5):
+        f = (rng.uniform(0, 255, (120, 160, 3))).astype(np.uint8)
+        frames.append(f)
+        w.write(f)
+    w.release()
+
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n")
+
+    main(["-mode", "video",
+          "-data_file", str(data),
+          "-model_file", os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+          "-weights_file", "/nonexistent",
+          "-input_file", vid, "-thresh", "0.3",
+          "-device_nms", "on", "-save_output",
+          "-out_dir", str(tmp_path / "out")])
+    cap = cv2.VideoCapture(str(tmp_path / "out" / "clip_out.mp4"))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    cap.release()
+
+    # submit/finalize == _proc_frame on the same frames
+    md = Metadata.from_file(str(data))
+    net = Network.from_cfg(os.path.join(fixtures_dir, "yolov3-tiny.cfg"),
+                           seed=7)
+
+    class A:
+        thresh = 0.25
+        nms_thresh = 0.45
+        letter_box = False
+        device_nms = "on"
+        top_k = 256
+
+    for f in frames[:2]:
+        out = _submit_frame(net, f, A())
+        disp_a, dets_a = _finalize_frame(net, md, f, out, A())
+        disp_b, dets_b = _proc_frame(net, md, f, A())
+        assert len(dets_a) == len(dets_b)
+        for a, b in zip(dets_a, dets_b):
+            np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-6)
+        np.testing.assert_array_equal(disp_a, disp_b)
