@@ -233,10 +233,16 @@ def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
     batch=1; here all N frames ride one batch dimension (one executable,
     one H2D/D2H round trip per frame set).
     """
-    import cv2
+    sub = _submit_frames_batch(net, frames_bgr, args)
+    return _finalize_frames_batch(net, md, frames_bgr, sub, args,
+                                  track_managers)
 
-    from darknet_tpu.apps import visualize as viz
-    from darknet_tpu.apps.tracker import get_most_prob_dets
+
+def _submit_frames_batch(net, frames_bgr, args):
+    """Streaming half 1 for N cameras: preprocess + launch the batched
+    device program without blocking (device path); the host path has no
+    async boundary and resolves synchronously."""
+    import cv2
 
     letter = getattr(args, "letter_box", False)
     shapes = {f.shape for f in frames_bgr}
@@ -267,12 +273,26 @@ def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
                                      interpolation=cv2.INTER_LINEAR))
         x = np.stack(xs)
     if _use_device_nms(args):
-        dets_b = net.detect_batch_device(x, thresh=args.thresh,
-                                         nms=args.nms_thresh,
-                                         top_k=getattr(args, "top_k", 256))
-    else:
-        dets_b = net.detect_batch(x, thresh=args.thresh,
-                                  nms=args.nms_thresh)
+        fn = net._device_detect_fn(x.shape[0], net.net.h, net.net.w,
+                                   args.thresh, args.nms_thresh,
+                                   getattr(args, "top_k", 256))
+        return ("dev", fn(net.params, net._prep_input(x)))
+    return ("host", net.detect_batch(x, thresh=args.thresh,
+                                     nms=args.nms_thresh))
+
+
+def _finalize_frames_batch(net, md, frames_bgr, sub, args,
+                           track_managers=None):
+    """Streaming half 2 for N cameras: materialize + host tail."""
+    import cv2
+
+    from darknet_tpu.apps import visualize as viz
+    from darknet_tpu.apps.tracker import get_most_prob_dets
+
+    letter = getattr(args, "letter_box", False)
+    kind, payload = sub
+    dets_b = (net.device_out_to_dets(*payload) if kind == "dev"
+              else payload)
 
     outs = []
     for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b)):
@@ -533,19 +553,18 @@ def mode_multi_video(args):
 
     writers = [None] * len(files)
     curr = 0
-    while True:
+
+    def _read_set():
         frames = []
-        done = False
         for cap in caps:
             ok, frame = cap.read()
             if not ok:
-                done = True
-                break
+                return None
             frames.append(frame)
-        if done:
-            break
-        outs = _proc_frames_batch(net, md, frames, args,
-                                  track_managers=tms)
+        return frames
+
+    def _tail(outs):
+        nonlocal curr
         for i, (display, _dets) in enumerate(outs):
             geos[i].proc(tms[i].get_tracks())
             if args.save_output:
@@ -563,6 +582,30 @@ def mode_multi_video(args):
         if len(geos) >= 2 and geos[0].handovers and geos[1].handovers:
             Handover.crosstalk(geos[0].handovers[0], geos[1].handovers[0])
         curr += 1
+
+    if _use_device_nms(args):
+        # depth-1 streaming pipeline across frame sets (see mode_video):
+        # the next set's device program runs while this set's geo/track/
+        # write tail executes on host; set order is preserved
+        pending = None
+        while True:
+            frames = _read_set()
+            cur = ((frames, _submit_frames_batch(net, frames, args))
+                   if frames is not None else None)
+            if pending is not None:
+                pframes, psub = pending
+                _tail(_finalize_frames_batch(net, md, pframes, psub, args,
+                                             track_managers=tms))
+            pending = cur
+            if frames is None:
+                break
+    else:
+        while True:
+            frames = _read_set()
+            if frames is None:
+                break
+            _tail(_proc_frames_batch(net, md, frames, args,
+                                     track_managers=tms))
     for cap in caps:
         cap.release()
     for wr in writers:
