@@ -65,16 +65,20 @@ def darknet_conv_padding(size: int, pad: int, dilation: int,
     """Explicit (lo, hi) padding reproducing darknet's output size.
 
     Darknet computes ``out = (in + 2*pad - size)/stride + 1`` (ignoring
-    dilation, `convolutional_layer.cpp:87-95`) and its im2col treats
-    out-of-range taps as zeros with symmetric conceptual padding `pad`.
-    XLA wants explicit per-edge padding; the low edge gets `pad` and the
-    high edge exactly what the output size formula requires.
+    dilation, `convolutional_layer.cpp:87-95`) but EXECUTES the conv
+    with padding ``pad * dilation`` on every edge — both im2col_cpu_ext
+    calls and the cuDNN descriptor scale it
+    (`convolutional_layer.cpp:296-301,1249-1253`), which is what keeps a
+    3x3 pad-1 dilated conv spatially centered.  XLA wants explicit
+    per-edge padding; the low edge gets the reference's ``pad*dilation``
+    and the high edge exactly what the output size formula requires.
     """
     (in_h, in_w), (s_y, s_x), (out_h, out_w) = in_hw, stride, out_hw
     eff = lambda k: dilation * (k - 1) + 1
-    hi_h = (out_h - 1) * s_y + eff(size) - in_h - pad
-    hi_w = (out_w - 1) * s_x + eff(size) - in_w - pad
-    return ((pad, max(hi_h, 0)), (pad, max(hi_w, 0)))
+    lo = pad * dilation
+    hi_h = (out_h - 1) * s_y + eff(size) - in_h - lo
+    hi_w = (out_w - 1) * s_x + eff(size) - in_w - lo
+    return ((lo, max(hi_h, 0)), (lo, max(hi_w, 0)))
 
 
 def batch_mean_var(y, axes):

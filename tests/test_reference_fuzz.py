@@ -56,6 +56,13 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
             moves.append("shortcut3")
         if li >= 2 and shapes[-1][:2] == shapes[-2][:2]:
             moves.append("route2")
+        if c % 2 == 0:
+            moves.append("route_groups")      # CSP-style partial split
+            moves.append("conv_groups")
+        if h >= 8:
+            moves.append("conv_dil")
+        if h % 2 == 0 and h >= 16 and c <= 16:
+            moves.append("reorg3d")
         mv = rng.choice(moves)
         act = rng.choice(ACTS)
         bn = int(rng.integers(0, 2))
@@ -76,6 +83,21 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
         elif mv == "shortcut3":
             emit(f"[shortcut]\nfrom=-3\nactivation={rng.choice(ACTS[:5])}\n",
                  h, w, c)
+        elif mv == "route_groups":
+            gid = int(rng.integers(0, 2))
+            emit(f"[route]\nlayers=-1\ngroups=2\ngroup_id={gid}\n",
+                 h, w, c // 2)
+        elif mv == "conv_groups":
+            gf = int(rng.choice([8, 16, 32]))
+            emit(f"[convolutional]\nbatch_normalize={bn}\nfilters={gf}\n"
+                 f"size=3\nstride=1\npad=1\ngroups=2\nactivation={act}\n",
+                 h, w, gf)
+        elif mv == "conv_dil":
+            emit(f"[convolutional]\nbatch_normalize={bn}\n"
+                 f"filters={filters}\nsize=3\nstride=1\npad=2\n"
+                 f"dilation=2\nactivation={act}\n", h, w, filters)
+        elif mv == "reorg3d":
+            emit("[reorg3d]\nstride=2\n", h // 2, w // 2, c * 4)
         else:  # route2: concat previous two
             emit("[route]\nlayers=-1,-2\n", h, w,
                  shapes[-1][2] + shapes[-2][2])
