@@ -191,6 +191,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
         number of consumers below _lo), so a stage draws the same masks
         as the corresponding span of the unsliced program."""
         outs: dict[int, jnp.ndarray] = dict(_extern or {})
+        backref_views: dict[int, jnp.ndarray] = {}
         bn_stats: dict[int, tuple] = {}
         conv_absmax: dict[int, jnp.ndarray] = {}
         heads: list = []
@@ -270,13 +271,24 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                             cur.astype(jnp.float32)))
                     src = l.share_index if l.share_index is not None else i
                     p = params[src]
+                    import dataclasses as _dc
                     if fused_bn:
                         # BN already folded into w/b
-                        import dataclasses as _dc
                         l_eff = _dc.replace(l, batch_normalize=False) \
                             if l.batch_normalize else l
                     else:
                         l_eff = l
+                    # back-referenced stride>1 antialiased conv: compute
+                    # the conv and blur separately so outs[i] can carry
+                    # the reference's front-filled (h, w, c) buffer view
+                    # (ops/conv.antialias_backref_view) while sequential
+                    # flow gets the blurred tensor
+                    aa_backref = (getattr(l, "antialiasing", 0)
+                                  and i in live
+                                  and (l.blur_stride_x > 1
+                                       or l.blur_stride_y > 1))
+                    if aa_backref:
+                        l_eff = _dc.replace(l_eff, antialiasing=0)
                     if train and remat:
                         # trade FLOPs for HBM: recompute the conv block in the
                         # backward pass instead of storing its intermediates
@@ -297,6 +309,14 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                                              compute_dtype=compute_dtype)
                     if st is not None:
                         bn_stats[i] = st
+                    if aa_backref:
+                        from darknet_tpu.ops.conv import (
+                            antialias_backref_view, antialias_blur)
+
+                        y_act = cur
+                        cur = antialias_blur(y_act, l)
+                        backref_views[i] = antialias_backref_view(
+                            y_act, cur, l)
                     if (train and train_act_dtype is not None
                             and i not in head_feed):
                         # reduced-precision interlayer tensor (vjp
@@ -392,7 +412,9 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     cur = jax.lax.stop_gradient(cur)
 
                 if i in live:
-                    outs[i] = cur
+                    # antialiased stride>1 convs expose a different
+                    # tensor to back-references than to sequential flow
+                    outs[i] = backref_views.pop(i, cur)
 
         result = {"heads": heads, "output": cur}
         if _lo or _hi is not None:

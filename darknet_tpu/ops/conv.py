@@ -205,6 +205,27 @@ def _blur_kernel(c: int, antialiasing: int, dtype=jnp.float32):
     return jnp.tile(k[:, :, None, None], (1, 1, 1, c))
 
 
+def antialias_backref_view(y_act, blur, l):
+    """The antialiased layer's output AS BACK-REFERENCES SEE IT.
+
+    The reference threads the blur sublayer's dims to the NEXT layer
+    (parser.cpp:1385-1391) — sequential flow sees the sane stride-s
+    blurred tensor — but the layer struct keeps the stride-1 dims
+    (FillConvLayer forces stride 1, convolutional_layer.cpp:419-423,496)
+    and forward only memcpy's the blur output over the FRONT of the flat
+    CHW buffer (convolutional_layer.cpp:1293-1303).  A route/shortcut/
+    scale_channels back-reference therefore reads an (h, w, c) tensor
+    whose flat front is the blurred output and whose tail is the stale
+    stride-1 conv activations.  Bizarre but deterministic; reproduced
+    flat-exactly so such cfgs keep reference shapes and values."""
+    b, h, w, c = y_act.shape
+    flat_full = jnp.transpose(y_act, (0, 3, 1, 2)).reshape(b, -1)
+    flat_blur = jnp.transpose(blur, (0, 3, 1, 2)).reshape(b, -1)
+    flat = jnp.concatenate(
+        [flat_blur, flat_full[:, flat_blur.shape[1]:]], axis=1)
+    return jnp.transpose(flat.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
 def antialias_blur(y, l):
     """Fixed depthwise blur at the layer's original stride."""
     c = y.shape[-1]

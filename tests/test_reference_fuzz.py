@@ -61,8 +61,15 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
             moves.append("conv_groups")
         if h >= 8:
             moves.append("conv_dil")
+            moves.append("dropout")           # inference: buffer-alias no-op
         if h % 2 == 0 and h >= 16 and c <= 16:
             moves.append("reorg3d")
+        if h % 2 == 0 and h >= 16:
+            moves.append("conv_antialias")    # stride rewired into blur
+        if w % 2 == 0 and w >= 16:
+            moves.append("conv_asym")         # stride_x=2, stride_y=1
+        if c <= 32:
+            moves.append("se_block")          # avgpool->1x1->scale_channels
         mv = rng.choice(moves)
         act = rng.choice(ACTS)
         bn = int(rng.integers(0, 2))
@@ -98,6 +105,25 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
                  f"dilation=2\nactivation={act}\n", h, w, filters)
         elif mv == "reorg3d":
             emit("[reorg3d]\nstride=2\n", h // 2, w // 2, c * 4)
+        elif mv == "dropout":
+            # parser aliases the dropout output onto the previous layer's
+            # buffer (parser.cpp:1235-1241); inference must be identity
+            emit("[dropout]\nprobability=.3\n", h, w, c)
+        elif mv == "conv_antialias":
+            emit(f"[convolutional]\nbatch_normalize=1\n"
+                 f"filters={filters}\nsize=3\nstride=2\npad=1\n"
+                 f"antialiasing=1\nactivation={act}\n",
+                 h // 2, w // 2, filters)
+        elif mv == "conv_asym":
+            emit(f"[convolutional]\nbatch_normalize={bn}\n"
+                 f"filters={filters}\nsize=3\nstride_x=2\nstride_y=1\n"
+                 f"pad=1\nactivation={act}\n", h, w // 2, filters)
+        elif mv == "se_block":
+            fh, fw = h, w                     # emit() mutates h/w
+            emit("[avgpool]\n", 1, 1, c)
+            emit(f"[convolutional]\nfilters={c}\nsize=1\nstride=1\npad=0\n"
+                 f"activation=logistic\n", 1, 1, c)
+            emit("[scale_channels]\nfrom=-3\n", fh, fw, c)
         else:  # route2: concat previous two
             emit("[route]\nlayers=-1,-2\n", h, w,
                  shapes[-1][2] + shapes[-2][2])

@@ -463,3 +463,52 @@ def test_receptive_field_golden(harness, tmp_path, rng):
     # the table printer carries the same numbers
     table = g.layer_table()
     assert f"- receptive field: {ours[-1][0]} x {ours[-1][1]}" in table
+
+
+def test_antialias_stride2_backref_parity(harness, tmp_path, rng):
+    """Stride-2 antialiased conv consumed BOTH sequentially and by a
+    back-reference: the reference threads the blur dims downstream
+    (parser.cpp:1385-1391) but back-references read the layer's stride-1
+    buffer with only its front overwritten by the blur output
+    (convolutional_layer.cpp:419-423,496,1293-1303).  Both views must
+    match flat-exactly (ops/conv.antialias_backref_view)."""
+    cfg = """[net]
+batch=1
+subdivisions=1
+width=32
+height=32
+channels=3
+[convolutional]
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+antialiasing=1
+activation=mish
+[avgpool]
+[convolutional]
+filters=8
+size=1
+activation=logistic
+[scale_channels]
+from=-3
+[convolutional]
+filters=20
+size=1
+stride=1
+pad=1
+activation=linear
+[yolo]
+mask=0,1
+num=3
+classes=5
+anchors=10,14, 23,27, 37,58
+"""
+    _compare(cfg, tmp_path, harness, rng, 32, atol_act=1e-5, thresh=0.2)
