@@ -23,14 +23,17 @@ ACTS = ["leaky", "mish", "relu", "logistic", "swish", "linear", "tanh",
         "elu", "gelu"]
 
 
-def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
-    """Sample a random, shape-valid detection cfg."""
+def random_cfg(seed: int, size: int = 64, classes: int = 5,
+               width: int | None = None) -> str:
+    """Sample a random, shape-valid detection cfg (non-square when
+    `width` differs from `size` — exercises every op's h/w handling)."""
     rng = np.random.default_rng(seed)
-    lines = [f"[net]\nbatch=1\nsubdivisions=1\nwidth={size}\n"
+    width = size if width is None else width
+    lines = [f"[net]\nbatch=1\nsubdivisions=1\nwidth={width}\n"
              f"height={size}\nchannels=3\n"]
     h = c = None
     shapes = []            # per-layer (h, w, c)
-    h, w, c = size, size, 3
+    h, w, c = size, width, 3
 
     def emit(s, nh, nw, nc):
         nonlocal h, w, c
@@ -62,7 +65,7 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
         if h >= 8:
             moves.append("conv_dil")
             moves.append("dropout")           # inference: buffer-alias no-op
-        if h % 2 == 0 and h >= 16 and c <= 16:
+        if h % 2 == 0 and w % 2 == 0 and h >= 16 and c <= 16:
             moves.append("reorg3d")
         if h % 2 == 0 and h >= 16:
             moves.append("conv_antialias")    # stride rewired into blur
@@ -137,7 +140,16 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5) -> str:
     return "\n".join(lines)
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 67, 101, 137, 211, 251])
+@pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 67, 101, 137, 211,
+                                  251, 263, 307, 331, 389, 401])
 def test_random_graph_parity(harness, tmp_path, rng, seed):
     cfg = random_cfg(seed)
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=2e-5, thresh=0.2)
+
+
+@pytest.mark.parametrize("seed", [17, 73, 131, 197, 229])
+def test_random_graph_parity_nonsquare(harness, tmp_path, rng, seed):
+    """Rectangular nets (width != height): every op's h/w handling."""
+    cfg = random_cfg(seed, size=48, width=64)
+    _compare(cfg, tmp_path, harness, rng, (48, 64), atol_act=2e-5,
+             thresh=0.2)

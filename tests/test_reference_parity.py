@@ -81,7 +81,8 @@ def _compare(cfg_text_or_path, tmp_path, harness, rng, size,
     net_t = Network.from_cfg(cfg_path, train=True, fuse=False, seed=11)
     net_t.save_weights(weights)
 
-    x_hwc = rng.uniform(0, 1, (size, size, 3)).astype(np.float32)
+    hh, ww = size if isinstance(size, tuple) else (size, size)
+    x_hwc = rng.uniform(0, 1, (hh, ww, 3)).astype(np.float32)
     ref_dets, ref_raw = _run_reference(harness, cfg_path, weights,
                                        x_hwc, thresh=thresh)
 
