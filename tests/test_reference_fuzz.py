@@ -24,7 +24,7 @@ ACTS = ["leaky", "mish", "relu", "logistic", "swish", "linear", "tanh",
 
 
 def random_cfg(seed: int, size: int = 64, classes: int = 5,
-               width: int | None = None) -> str:
+               width: int | None = None, no_dropout: bool = False) -> str:
     """Sample a random, shape-valid detection cfg (non-square when
     `width` differs from `size` — exercises every op's h/w handling)."""
     rng = np.random.default_rng(seed)
@@ -64,7 +64,8 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
             moves.append("conv_groups")
         if h >= 8:
             moves.append("conv_dil")
-            moves.append("dropout")           # inference: buffer-alias no-op
+            if not no_dropout:                # train fuzz: rand() masks
+                moves.append("dropout")       # inference: buffer-alias no-op
         if h % 2 == 0 and w % 2 == 0 and h >= 16 and c <= 16:
             moves.append("reorg3d")
         if h % 2 == 0 and h >= 16:
@@ -135,7 +136,7 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
     f = n_mask * (5 + classes)
     emit(f"[convolutional]\nfilters={f}\nsize=1\nstride=1\npad=1\n"
          f"activation=linear\n", h, w, f)
-    lines.append(f"[yolo]\nmask=0,1\nnum=3\nclasses={classes}\n"
+    lines.append(f"[yolo]\nmask=0,1\nnum=3\nclasses={classes}\nmax=12\n"
                  "anchors=10,14, 23,27, 37,58\nscale_x_y=1.05\n")
     return "\n".join(lines)
 

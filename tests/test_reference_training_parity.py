@@ -391,3 +391,23 @@ def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
     vs the binary (gaussian_yolo_layer.cpp:195-358, 632-648)."""
     cfg, truths = _random_gaussian_cfg(seed)
     _gate(cfg, tmp_path, harness, rng, truths, atol=3e-4)
+
+
+@pytest.mark.parametrize("seed", [13, 29, 43, 71, 97, 113])
+def test_random_graph_train_delta_fuzz(harness, tmp_path, rng, seed):
+    """Random full graphs through ONE training datum vs the binary's
+    TrainNetworkDatum: gates the train-mode forward (live BN, dilated /
+    grouped / antialiased / asym-stride convs, SE gates, reorg) plus the
+    head deltas on graphs the fixed gates can't enumerate.  (Dropout is
+    excluded — the reference's rand() masks aren't reproducible.)"""
+    from tests.test_reference_fuzz import random_cfg
+
+    cfg = random_cfg(seed, no_dropout=True)
+    r = np.random.default_rng(seed + 1)
+    truths = np.zeros((1, 12, 5), np.float32)
+    for k in range(3):
+        bw, bh = r.uniform(0.1, 0.4), r.uniform(0.1, 0.4)
+        truths[0, k] = [r.uniform(bw / 2, 1 - bw / 2),
+                        r.uniform(bh / 2, 1 - bh / 2),
+                        bw, bh, r.integers(0, 5)]
+    _gate(cfg, tmp_path, harness, rng, truths)
