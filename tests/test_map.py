@@ -110,8 +110,11 @@ def test_loader_show_imgs(dataset, tmp_path):
                          threads=2, show_imgs=2, show_imgs_dir=str(out))
     ld.next()
     ld.next()
+    ld.close()
+    # dumps happen at batch BUILD time (the loader prefetches), so a
+    # third batch may already have been assembled: >= 2 batches' worth
     dumps = sorted(os.listdir(out))
-    assert len(dumps) == 4 and dumps[0] == "aug_00001.jpg"
+    assert len(dumps) >= 4 and dumps[0] == "aug_00001.jpg"
 
 
 def test_loader_bad_list(tmp_path):
