@@ -169,8 +169,12 @@ class Network:
         if self._calib_absmax is None:
             raise ValueError("no calibration to save: run calibrate_int8 "
                              "first")
-        np.savez(path, **{str(k): np.asarray(v, np.float32)
-                          for k, v in self._calib_absmax.items()})
+        # write through a file object: np.savez(path) silently appends
+        # ".npz" to bare paths, so a `-calib_file scales.cache` would
+        # never round-trip through load_calibration
+        with open(path, "wb") as f:
+            np.savez(f, **{str(k): np.asarray(v, np.float32)
+                           for k, v in self._calib_absmax.items()})
 
     def load_calibration(self, path, *, region_int8: bool = False) -> None:
         """Apply input scales previously saved by save_calibration."""

@@ -160,15 +160,41 @@ def save_checkpoint_sharded(path, params, opt_state, seen: int,
         multihost_utils.sync_global_devices("darknet_tpu:ckpt_swapped")
 
 
+def resolve_sharded_dir(path):
+    """Find a loadable sharded checkpoint for `path`, surviving the
+    directory-swap crash window in save_checkpoint_sharded: a kill
+    between `rename(path, old)` and `rename(tmp, path)` leaves the new
+    complete checkpoint at `path.tmp` and the previous one at
+    `path.old`.  Preference order: path (normal), path.tmp (swap was in
+    progress, so the tmp save had already finished — it is the NEWER
+    state), path.old.  A directory only counts if its orbax `state`
+    subdir exists — orbax finalizes that name atomically, so a crash
+    mid-save never leaves a half-written candidate.  Returns None if no
+    complete checkpoint exists."""
+    import os
+
+    p = os.path.abspath(str(path))
+    for cand in (p, p + ".tmp", p + ".old"):
+        if os.path.isdir(os.path.join(cand, "state")):
+            return cand
+    return None
+
+
 def load_checkpoint_sharded(path, params_template, opt_template):
     """Restore (params, opt_state, seen, rng_key, extra) from a sharded
     checkpoint directory.  Template leaves that are sharded jax.Arrays
     (or ShapeDtypeStructs with shardings) come back placed on the same
-    mesh/sharding; numpy template leaves come back as host numpy."""
+    mesh/sharding; numpy template leaves come back as host numpy.
+    Falls back to the `.tmp`/`.old` swap siblings if `path` itself is
+    missing (see resolve_sharded_dir)."""
     import os
 
     import jax
     import orbax.checkpoint as ocp
+
+    resolved = resolve_sharded_dir(path)
+    if resolved is not None:
+        path = resolved
 
     abstract = {
         "params": jax.tree.map(_abstract_like, params_template),

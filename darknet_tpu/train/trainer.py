@@ -132,9 +132,14 @@ class DetectorTrainer:
             path = (self._resume if isinstance(self._resume, str)
                     else self.state_path)
             if not os.path.exists(path):
-                # multi-process saves write a sharded DIRECTORY instead
-                alt = path[:-len(".npz")] if path.endswith(".npz") else None
-                if alt and os.path.isdir(alt):
+                # multi-process saves write a sharded DIRECTORY instead;
+                # resolve_sharded_dir also recovers the .tmp/.old swap
+                # siblings a crash mid-directory-swap can leave behind
+                from darknet_tpu.train.checkpoint import resolve_sharded_dir
+
+                alt = path[:-len(".npz")] if path.endswith(".npz") else path
+                alt = resolve_sharded_dir(alt)
+                if alt:
                     path = alt
                 elif isinstance(self._resume, str):
                     raise FileNotFoundError(
@@ -206,9 +211,9 @@ class DetectorTrainer:
         import jax.numpy as jnp
         return jnp.bfloat16 if self.act16 else None
 
-    def _pick_dims(self, avg_loss, at_iter: int | None = None) -> tuple:
+    def _pick_dims(self, avg_loss) -> tuple:
         net = self.net
-        it = self.curr_iter if at_iter is None else at_iter
+        it = self.curr_iter
         if not self.random_coef:
             return net.w, net.h
         coef = 1.4 if abs(self.random_coef - 1.0) <= 1e-6 else \
@@ -238,7 +243,6 @@ class DetectorTrainer:
         map_step = max(100, self.iter_per_epoch)
         end_iter = net.max_iter if max_iters is None else \
             min(net.max_iter, self.curr_iter + max_iters)
-        count = 0
         dim_w, dim_h = self._dims if self._dims else (net.w, net.h)
         key = self._key
 
@@ -258,7 +262,25 @@ class DetectorTrainer:
         except ValueError:
             prev_handlers = {}
 
-        while not stop_requested and self.curr_iter < end_iter:
+        def _stop_agreed() -> bool:
+            # multi-host: the signal may reach processes at different
+            # iterations (or miss some entirely); exiting unilaterally
+            # would strand the others inside the step's cross-process
+            # collectives and the checkpoint rendezvous would deadlock.
+            # Agree on the flag every iteration — anyone signalled =>
+            # everyone stops at the SAME iteration boundary.
+            if jax.process_count() <= 1:
+                return bool(stop_requested)
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([bool(stop_requested)]))
+            agreed = bool(np.any(flags))
+            if agreed and not stop_requested:
+                stop_requested.append(True)   # so the save branch runs
+            return agreed
+
+        while not _stop_agreed() and self.curr_iter < end_iter:
             # multi-scale cadence keyed to the GLOBAL iteration (the
             # reference counts per-process, detector.cpp:141 — the
             # absolute key + per-iteration pick rng makes a resumed run
@@ -269,8 +291,6 @@ class DetectorTrainer:
                 self._dims = (dim_w, dim_h)
                 self.loader.resize(dim_w, dim_h)
                 self.log(f"Resizing: {dim_w} x {dim_h}")
-            count += 1
-
             t0 = time.perf_counter()
             x, y = self.loader.next()
             if x.shape[1:3] != (dim_h, dim_w):

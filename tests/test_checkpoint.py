@@ -229,6 +229,35 @@ def test_checkpoint_save_is_atomic(tmp_path):
     assert seen == 7
 
 
+def test_resolve_sharded_dir_crash_window(tmp_path):
+    """The sharded save's directory swap (rename path->old; rename
+    tmp->path) has a crash window where `path` does not exist; the
+    resolver must recover the NEWER completed state from `.tmp`, then
+    fall back to `.old`, and must ignore candidates without a finalized
+    orbax `state` subdir (a crash mid-save)."""
+    from darknet_tpu.train.checkpoint import resolve_sharded_dir
+
+    base = tmp_path / "ck"
+    # nothing exists
+    assert resolve_sharded_dir(base) is None
+    # crash mid-FIRST-save: only an unfinalized tmp (no state subdir)
+    (tmp_path / "ck.tmp").mkdir()
+    assert resolve_sharded_dir(base) is None
+    # crash between the two renames: complete .tmp (new) + .old (previous)
+    (tmp_path / "ck.tmp" / "state").mkdir()
+    (tmp_path / "ck.old" / "state").mkdir(parents=True)
+    assert resolve_sharded_dir(base) == str(tmp_path / "ck.tmp")
+    # crash after rename(path->old) on a FIRST save that had no tmp yet
+    # is impossible (old only exists if path did), but .old alone loads
+    import shutil
+
+    shutil.rmtree(tmp_path / "ck.tmp")
+    assert resolve_sharded_dir(base) == str(tmp_path / "ck.old")
+    # normal state: path wins over both siblings
+    (tmp_path / "ck" / "state").mkdir(parents=True)
+    assert resolve_sharded_dir(base) == str(tmp_path / "ck")
+
+
 def test_trainer_resume_exact_with_multiscale(tmp_path):
     """Exact resume under multi-scale training (random=1): the restored
     dims bucket + absolute-iteration cadence + persisted avg_loss make

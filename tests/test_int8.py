@@ -2,6 +2,8 @@
 analogue of the reference's XNOR/binary fast path (gemm.c:1334,
 convolutional_layer.cpp:1005-1120)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -313,8 +315,11 @@ def test_calibration_cache_roundtrip(tmp_path, setup):
     with pytest.raises(ValueError):
         net_a.save_calibration(str(tmp_path / "nope.npz"))
     net_a.calibrate_int8(calib)
-    cache = str(tmp_path / "scales.calib.npz")
+    # a bare path (no .npz) must round-trip too: np.savez appends the
+    # suffix to plain paths, which would break `-calib_file scales.cache`
+    cache = str(tmp_path / "scales.cache")
     net_a.save_calibration(cache)
+    assert os.path.exists(cache) and not os.path.exists(cache + ".npz")
 
     net_b = Network.from_cfg(cfg_path, seed=4, int8=True)
     net_b.load_calibration(cache)
