@@ -463,10 +463,16 @@ class DetectorTrainer:
                  f"(iteration {self.curr_iter})")
 
     def save(self, suffix: str = "") -> str:
-        os.makedirs(self.save_dir, exist_ok=True)
         name = f"{self.save_name}_{suffix}.weights" if suffix \
             else f"{self.save_name}.weights"
         path = os.path.join(self.save_dir, name)
+        if jax.process_index() != 0:
+            # one writer: under multi-host DP the params are replicated,
+            # and two processes appending to the same file concurrently
+            # would interleave; the sharded full-state save (save_state)
+            # is the collective one
+            return path
+        os.makedirs(self.save_dir, exist_ok=True)
         params = [{k: np.asarray(v) for k, v in p.items()}
                   for p in self.params]
         wio.save_weights(self.graph, params, path, seen=self.seen)

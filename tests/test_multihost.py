@@ -260,3 +260,96 @@ def test_two_process_sharded_checkpoint_roundtrip(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o
         assert "ckpt ok" in o
+
+
+PREEMPT_WORKER = r'''
+import os
+import signal
+import sys
+import threading
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, repo, cfg_path, datadir = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.device_count() == 8
+
+import numpy as np
+from jax.sharding import Mesh
+
+sys.path.insert(0, repo)
+from darknet_tpu.train.trainer import DetectorTrainer
+
+paths = sorted(os.path.join(datadir, f) for f in os.listdir(datadir)
+               if f.endswith(".png"))
+mesh = Mesh(np.array(jax.devices()).reshape(-1), ("dp",))
+with open(cfg_path) as f:
+    cfg = f.read()
+tr = DetectorTrainer(cfg, paths * 16, classes=1, mesh=mesh,
+                     save_dir=os.path.join(datadir, "bk"), save_name="m",
+                     loader_threads=1, loader_processes=0,
+                     log=lambda *a: None)
+
+# deliver SIGTERM to process 0 ONLY, a beat into the loop: without the
+# per-iteration cross-process consensus, process 1 would block forever
+# in the step's psum / checkpoint rendezvous
+if pid == 0:
+    threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGTERM)).start()
+tr.train(max_iters=200)
+print(f"proc {pid} stopped at {tr.curr_iter}", flush=True)
+tr.loader.close()
+'''
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo/linux only")
+def test_two_process_preemption_consensus(tmp_path):
+    """SIGTERM reaching only ONE process must stop BOTH at the same
+    iteration boundary (the per-iteration stop-flag allgather), then the
+    collective full-state save must complete — instead of process 1
+    deadlocking in the step's collectives while process 0 waits at the
+    checkpoint rendezvous."""
+    import cv2
+
+    cfg_path = tmp_path / "m.cfg"
+    cfg_path.write_text(CFG)
+    worker = tmp_path / "preempt_worker.py"
+    worker.write_text(PREEMPT_WORKER)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / f"i{i}.png"), img)
+        (tmp_path / f"i{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(i), repo, str(cfg_path),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+    stops = []
+    for o in outs:
+        line = [ln for ln in o.splitlines() if "stopped at" in ln]
+        assert line, o
+        stops.append(int(line[-1].split()[-1]))
+    # both processes agreed on the SAME stop iteration, before the end
+    assert stops[0] == stops[1], (stops, outs)
+    assert 0 < stops[0] < 200
+    # the collective sharded full-state save completed
+    from darknet_tpu.train.checkpoint import resolve_sharded_dir
+
+    assert resolve_sharded_dir(tmp_path / "bk" / "m_last.ckpt") is not None
