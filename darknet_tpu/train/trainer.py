@@ -462,6 +462,11 @@ class DetectorTrainer:
         self.log(f"Resumed full train state from {path} "
                  f"(iteration {self.curr_iter})")
 
+    def close(self) -> None:
+        """Stop the loader pool (idempotent)."""
+        if getattr(self, "loader", None) is not None:
+            self.loader.close()
+
     def save(self, suffix: str = "") -> str:
         name = f"{self.save_name}_{suffix}.weights" if suffix \
             else f"{self.save_name}.weights"
@@ -478,3 +483,32 @@ class DetectorTrainer:
         wio.save_weights(self.graph, params, path, seen=self.seen)
         self.log(f"Saving weights to {path}")
         return path
+
+
+def train_detector(data_file: str, model_file: str,
+                   weights_file: str | None = None, *, clear: bool = False,
+                   max_iters: int | None = None, calc_map: bool = False,
+                   **kw) -> float:
+    """TrainDetector with the reference's own entry signature
+    (yolo_core.h:640-642: Metadata + model_file + weights_file;
+    detector.cpp:27-324): resolve the .data file, build the trainer, run
+    the loop, return the final EMA avg loss.  This is the function the C
+    ABI's dtpu_train binds."""
+    from darknet_tpu.config.metadata import Metadata
+
+    md = Metadata.from_file(data_file)
+    train_paths = md.load_paths("train")
+    val_paths = (md.load_paths("valid")
+                 if (calc_map and md.valid_list) else [])
+    weights = (weights_file
+               if weights_file and os.path.exists(weights_file) else None)
+    trainer = DetectorTrainer(
+        model_file, train_paths, weights=weights, classes=md.classes,
+        clear=clear, calc_map=calc_map and bool(val_paths),
+        val_paths=val_paths, save_dir=md.backup_dir,
+        save_name=os.path.splitext(os.path.basename(model_file))[0]
+        or "model", **kw)
+    try:
+        return float(trainer.train(max_iters=max_iters))
+    finally:
+        trainer.close()

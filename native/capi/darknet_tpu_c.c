@@ -324,3 +324,150 @@ void dtpu_free(dtpu_net net)
   Py_DECREF((PyObject*)net);
   PyGILState_Release(gil);
 }
+
+float dtpu_train(const char* data_file, const char* cfg_path,
+                 const char* weights_path, int clear, int max_iters)
+{
+  ensure_python();
+  PyGILState_STATE gil = PyGILState_Ensure();
+  float v = -1.0f;
+  PyObject *mod = NULL, *fn = NULL, *args = NULL, *kw = NULL, *res = NULL;
+  mod = PyImport_ImportModule("darknet_tpu.train.trainer");
+  if (!mod) goto done;
+  fn = PyObject_GetAttrString(mod, "train_detector");
+  if (!fn) goto done;
+  args = Py_BuildValue("(ss)", data_file, cfg_path);
+  kw = PyDict_New();
+  if (weights_path && *weights_path) {
+    PyObject* w = PyUnicode_FromString(weights_path);
+    PyDict_SetItemString(kw, "weights_file", w);
+    Py_DECREF(w);
+  }
+  if (clear) PyDict_SetItemString(kw, "clear", Py_True);
+  if (max_iters > 0) {
+    PyObject* m = PyLong_FromLong(max_iters);
+    PyDict_SetItemString(kw, "max_iters", m);
+    Py_DECREF(m);
+  }
+  res = PyObject_Call(fn, args, kw);
+  if (res) v = (float)PyFloat_AsDouble(res);
+done:
+  Py_XDECREF(res); Py_XDECREF(kw); Py_XDECREF(args); Py_XDECREF(fn);
+  Py_XDECREF(mod);
+  if (PyErr_Occurred()) { PyErr_Print(); v = -1.0f; }
+  PyGILState_Release(gil);
+  return v;
+}
+
+/* ---- tracker ---- */
+
+dtpu_tracker dtpu_tracker_new(float fps, float iou_thresh)
+{
+  ensure_python();
+  PyGILState_STATE gil = PyGILState_Ensure();
+  dtpu_tracker handle = NULL;
+  PyObject *mod = NULL, *cp_cls = NULL, *cp = NULL, *tm_cls = NULL;
+  mod = PyImport_ImportModule("darknet_tpu.apps.tracker");
+  if (!mod) goto done;
+  cp_cls = PyObject_GetAttrString(mod, "ConfParam");
+  if (!cp_cls) goto done;
+  cp = PyObject_CallMethod(cp_cls, "from_fps", "f", (double)fps);
+  if (!cp) goto done;
+  tm_cls = PyObject_GetAttrString(mod, "TrackManager");
+  if (!tm_cls) goto done;
+  handle = (dtpu_tracker)PyObject_CallFunction(
+      tm_cls, "Off", cp, (double)fps, (double)iou_thresh);
+done:
+  Py_XDECREF(tm_cls); Py_XDECREF(cp); Py_XDECREF(cp_cls); Py_XDECREF(mod);
+  if (PyErr_Occurred()) PyErr_Print();
+  PyGILState_Release(gil);
+  return handle;
+}
+
+int dtpu_tracker_update(dtpu_tracker t, const dtpu_detection* dets, int n)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int rc = -1;
+  PyObject *mod = NULL, *mpd_cls = NULL, *list = NULL, *res = NULL;
+  mod = PyImport_ImportModule("darknet_tpu.apps.tracker");
+  if (!mod) goto done;
+  mpd_cls = PyObject_GetAttrString(mod, "MostProbDet");
+  if (!mpd_cls) goto done;
+  list = PyList_New(0);
+  for (int i = 0; i < n; i++) {
+    PyObject* d = PyObject_CallFunction(
+        mpd_cls, "(ffff)if", (double)dets[i].x, (double)dets[i].y,
+        (double)dets[i].w, (double)dets[i].h, dets[i].best_class,
+        (double)dets[i].best_prob);
+    if (!d) goto done;
+    PyList_Append(list, d);
+    Py_DECREF(d);
+  }
+  res = PyObject_CallMethod((PyObject*)t, "track", "O", list);
+  if (res) rc = 0;
+done:
+  Py_XDECREF(res); Py_XDECREF(list); Py_XDECREF(mpd_cls); Py_XDECREF(mod);
+  if (PyErr_Occurred()) { PyErr_Print(); rc = -1; }
+  PyGILState_Release(gil);
+  return rc;
+}
+
+int dtpu_tracker_tracks(dtpu_tracker t, dtpu_track_info* out, int max_out)
+{
+  PyGILState_STATE gil = PyGILState_Ensure();
+  int n = -1;
+  PyObject *mod = NULL, *stat = NULL, *tracks = NULL;
+  mod = PyImport_ImportModule("darknet_tpu.apps.tracker");
+  if (!mod) goto done;
+  stat = PyObject_GetAttrString(mod, "STATIONARY");
+  if (!stat) goto done;
+  tracks = PyObject_CallMethod((PyObject*)t, "get_tracks", NULL);
+  if (!tracks) goto done;
+  {
+    Py_ssize_t nt = PyList_Size(tracks);
+    if (nt > max_out) nt = max_out;
+    for (Py_ssize_t i = 0; i < nt; i++) {
+      PyObject* tr = PyList_GetItem(tracks, i);
+      PyObject* det = PyObject_GetAttrString(tr, "det");
+      PyObject* label = PyObject_GetAttrString(tr, "label");
+      PyObject* status = PyObject_GetAttrString(tr, "status");
+      if (!det || !label || !status) {
+        Py_XDECREF(det); Py_XDECREF(label); Py_XDECREF(status);
+        goto done;
+      }
+      PyObject* bbox = PyObject_GetAttrString(det, "bbox");
+      PyObject* cid = PyObject_GetAttrString(det, "cid");
+      PyObject* prob = PyObject_GetAttrString(det, "prob");
+      if (!bbox || !cid || !prob) {
+        Py_XDECREF(bbox); Py_XDECREF(cid); Py_XDECREF(prob);
+        Py_DECREF(det); Py_DECREF(label); Py_DECREF(status);
+        goto done;
+      }
+      out[i].x = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 0));
+      out[i].y = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 1));
+      out[i].w = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 2));
+      out[i].h = (float)PyFloat_AsDouble(PyTuple_GetItem(bbox, 3));
+      out[i].cid = (int)PyLong_AsLong(cid);
+      out[i].prob = (float)PyFloat_AsDouble(prob);
+      out[i].label = (int)PyLong_AsLong(label);
+      out[i].stationary =
+          PyObject_RichCompareBool(status, stat, Py_EQ) == 1 ? 1 : 0;
+      Py_DECREF(bbox); Py_DECREF(cid); Py_DECREF(prob);
+      Py_DECREF(det); Py_DECREF(label); Py_DECREF(status);
+    }
+    n = (int)nt;
+  }
+done:
+  Py_XDECREF(tracks); Py_XDECREF(stat); Py_XDECREF(mod);
+  if (PyErr_Occurred()) { PyErr_Print(); n = -1; }
+  PyGILState_Release(gil);
+  return n;
+}
+
+void dtpu_tracker_free(dtpu_tracker t)
+{
+  if (!t) return;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  Py_DECREF((PyObject*)t);
+  PyGILState_Release(gil);
+}

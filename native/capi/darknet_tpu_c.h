@@ -64,6 +64,42 @@ float dtpu_validate(dtpu_net net, const char* data_file, float iou_thresh);
 /* FreeNetwork. */
 void dtpu_free(dtpu_net net);
 
+/* TrainDetector (yolo_core.h:640-642, detector.cpp:27-324): run the full
+ * training loop driven by the .data file (train list, backup dir for
+ * checkpoints).  weights_path may be NULL/"" (random init); clear != 0
+ * resets the seen counter; max_iters > 0 bounds the run (0 = the cfg's
+ * max_iter).  Returns the final EMA avg loss, or -1.0f on error. */
+float dtpu_train(const char* data_file, const char* cfg_path,
+                 const char* weights_path, int clear, int max_iters);
+
+/* ---- multi-object tracker (track_manager.h — part of the reference's
+ * installed library surface, CMakeLists.txt:265): Kalman filter +
+ * Hungarian association over per-frame best-class detections. ---- */
+
+typedef void* dtpu_tracker;
+
+typedef struct {
+  float x, y, w, h;  /* relative center-format bbox */
+  int cid;           /* class id */
+  float prob;
+  int label;         /* stable id, assigned after min_conf frames (-1 early) */
+  int stationary;    /* 1 when STATIONARY (track_manager.cpp:100-113) */
+} dtpu_track_info;
+
+/* TrackManager(ConfParam::from_fps(fps), fps, iou_thresh)
+ * (yolo_core.cpp:244-246 derives ConfParam from the stream fps). */
+dtpu_tracker dtpu_tracker_new(float fps, float iou_thresh);
+
+/* TrackManager::Track for ONE frame's detections (e.g. dtpu_detect
+ * output).  Returns 0, or -1 on error. */
+int dtpu_tracker_update(dtpu_tracker t, const dtpu_detection* dets, int n);
+
+/* Confirmed tracks (conf >= min_conf, TrackManager::GetTracks).  Returns
+ * the number written (<= max_out), or -1 on error. */
+int dtpu_tracker_tracks(dtpu_tracker t, dtpu_track_info* out, int max_out);
+
+void dtpu_tracker_free(dtpu_tracker t);
+
 #ifdef __cplusplus
 }
 #endif

@@ -63,6 +63,40 @@ int main(int argc, char** argv)
     printf("mAP: %.4f\n", m);
   }
 
+  /* tracker (track_manager.h surface): feed the same detections for a
+     few frames; a confirmed track with a stable label must emerge */
+  if (n > 0) {
+    dtpu_tracker tm = dtpu_tracker_new(10.0f, 0.3f);
+    if (!tm) { fprintf(stderr, "tracker_new failed\n"); return 7; }
+    dtpu_track_info tracks[16];
+    int nt = 0;
+    for (int f = 0; f < 4; f++) {
+      if (dtpu_tracker_update(tm, dets, n > 4 ? 4 : n) != 0) {
+        fprintf(stderr, "tracker_update failed\n");
+        return 7;
+      }
+      nt = dtpu_tracker_tracks(tm, tracks, 16);
+      if (nt < 0) { fprintf(stderr, "tracker_tracks failed\n"); return 7; }
+    }
+    printf("tracks: %d", nt);
+    if (nt > 0)
+      printf(" label0=%d cls=%d prob=%.2f stationary=%d", tracks[0].label,
+             tracks[0].cid, tracks[0].prob, tracks[0].stationary);
+    printf("\n");
+    if (nt <= 0 || tracks[0].label < 0) {
+      fprintf(stderr, "expected a confirmed labeled track\n");
+      return 7;
+    }
+    dtpu_tracker_free(tm);
+  }
+
+  /* TrainDetector from C: two bounded iterations over the .data file */
+  if (argc > 5 && argv[5][0]) {
+    float loss = dtpu_train(argv[5], argv[1], NULL, 0, 2);
+    if (loss < 0) { fprintf(stderr, "train failed\n"); return 8; }
+    printf("train avg loss: %.3f\n", loss);
+  }
+
   free(img);
   dtpu_free(net);
   printf("ok\n");

@@ -85,3 +85,80 @@ def test_c_client_validate(demo, fixtures_dir, tmp_path):
     assert line, r.stdout
     m = float(line[0].split()[1])
     assert 0.0 <= m <= 1.0       # random weights: any valid mAP value
+
+
+def test_c_client_tracker_and_train(demo, fixtures_dir, tmp_path):
+    """dtpu_tracker_* (the track_manager.h surface) and dtpu_train
+    (TrainDetector, yolo_core.h:640) from the C ABI: the demo client
+    tracks its own detections over 4 frames (a labeled confirmed track
+    must emerge) and runs 2 bounded training iterations over a tiny
+    .data-driven dataset."""
+    import cv2
+    import numpy as np
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    paths = []
+    for i in range(4):
+        img = np.full((96, 96, 3), 90, np.uint8)
+        cv2.rectangle(img, (30, 30), (70, 70), (210, 60, 60), -1)
+        p = str(ds / f"t{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"t{i}.txt"), "w").write("0 0.5 0.5 0.4 0.4\n")
+        paths.append(p)
+    (tmp_path / "train.list").write_text("\n".join(paths))
+    names = tmp_path / "names.txt"
+    names.write_text("\n".join(f"c{i}" for i in range(80)))
+    data = tmp_path / "t.data"
+    data.write_text(f"classes=80\nnames={names}\n"
+                    f"train={tmp_path / 'train.list'}\n"
+                    f"save={tmp_path / 'bk'}\n")
+
+    # small train-friendly cfg (the tiny fixture at 416 is slow on CPU)
+    cfg = tmp_path / "small.cfg"
+    cfg.write_text("""[net]
+batch=4
+subdivisions=1
+width=96
+height=96
+channels=3
+learning_rate=0.001
+burn_in=0
+policy=constant
+max_epoch=500
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+filters=85
+size=1
+activation=linear
+[yolo]
+mask=0
+num=1
+classes=80
+anchors=30,30
+""")
+
+    env = dict(os.environ)
+    env["DTPU_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [demo, str(cfg), "", "0.05", "", str(data)],
+        env=env, capture_output=True, text=True, timeout=280)
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-1500:])
+    # tracker: a confirmed track with an assigned label
+    tline = [ln for ln in r.stdout.splitlines() if ln.startswith("tracks:")]
+    assert tline, r.stdout
+    assert int(tline[0].split()[1]) >= 1
+    assert "label0=" in tline[0]
+    # training ran and checkpointed into the .data save dir
+    lline = [ln for ln in r.stdout.splitlines()
+             if ln.startswith("train avg loss:")]
+    assert lline and float(lline[0].split()[-1]) > 0
+    assert (tmp_path / "bk").is_dir()
+    assert any(f.endswith(".weights") for f in os.listdir(tmp_path / "bk"))
