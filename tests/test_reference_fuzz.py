@@ -24,21 +24,33 @@ ACTS = ["leaky", "mish", "relu", "logistic", "swish", "linear", "tanh",
 
 
 def random_cfg(seed: int, size: int = 64, classes: int = 5,
-               width: int | None = None, no_dropout: bool = False) -> str:
+               width: int | None = None, no_dropout: bool = False,
+               train_safe: bool | None = None) -> str:
     """Sample a random, shape-valid detection cfg (non-square when
-    `width` differs from `size` — exercises every op's h/w handling)."""
+    `width` differs from `size` — exercises every op's h/w handling).
+
+    train_safe restricts to the move set whose backward pass the
+    reference binary survives — its training path SEGFAULTS on several
+    exotic layers the inference path handles (maxpool_depth /
+    standalone batchnorm / reorg_old / scale_wh training combos);
+    defaults to no_dropout (the training fuzz passes that)."""
+    if train_safe is None:
+        train_safe = no_dropout
     rng = np.random.default_rng(seed)
     width = size if width is None else width
     lines = [f"[net]\nbatch=1\nsubdivisions=1\nwidth={width}\n"
              f"height={size}\nchannels=3\n"]
     h = c = None
     shapes = []            # per-layer (h, w, c)
+    aa = []                # per-layer: is an antialiased conv (stale-tail
+                           # stride-1 buffer — illegal as a shortcut source)
     h, w, c = size, width, 3
 
-    def emit(s, nh, nw, nc):
+    def emit(s, nh, nw, nc, is_aa=False):
         nonlocal h, w, c
         lines.append(s)
         shapes.append((nh, nw, nc))
+        aa.append(is_aa)
         h, w, c = nh, nw, nc
 
     # opener: conv so BN/route bookkeeping is sane
@@ -55,7 +67,10 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
         if h <= 32:
             moves.append("upsample")
         li = len(shapes)
-        if li >= 3 and shapes[-1] == shapes[-3]:
+        if li >= 3 and shapes[-1] == shapes[-3] and not aa[-3]:
+            # (antialiased convs excluded: the reference's shortcut would
+            # read their oversized stride-1 stale-tail buffer — our
+            # builder rejects that combination loudly instead)
             moves.append("shortcut3")
         if li >= 2 and shapes[-1][:2] == shapes[-2][:2]:
             moves.append("route2")
@@ -68,12 +83,28 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
                 moves.append("dropout")       # inference: buffer-alias no-op
         if h % 2 == 0 and w % 2 == 0 and h >= 16 and c <= 16:
             moves.append("reorg3d")
+            if not train_safe:
+                moves.append("reorg_old")     # historical flat permutation
         if h % 2 == 0 and h >= 16:
             moves.append("conv_antialias")    # stride rewired into blur
+            if not train_safe:
+                moves.append("maxpool_aa")    # antialiased maxpool
         if w % 2 == 0 and w >= 16:
             moves.append("conv_asym")         # stride_x=2, stride_y=1
         if c <= 32:
             moves.append("se_block")          # avgpool->1x1->scale_channels
+            if not train_safe:
+                moves.append("scale_wh")      # per-pixel gate variant
+        if not train_safe:
+            if c % 2 == 0:
+                moves.append("maxpool_depth")  # max over channel groups
+            moves.append("maxpool_spp")       # size 3 stride 1, pad 0
+            if w % 2 == 0 and w >= 16:
+                moves.append("maxpool_asym")  # stride_x=2, stride_y=1
+            if h % 2 == 0 and w % 2 == 0 and h >= 16:
+                moves.append("upsample_rev")  # reverse=1: NN downsample
+            moves.append("bn_layer")          # standalone [batchnorm]
+            moves.append("act_layer")         # standalone [activation]
         mv = rng.choice(moves)
         act = rng.choice(ACTS)
         bn = int(rng.integers(0, 2))
@@ -117,7 +148,7 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
             emit(f"[convolutional]\nbatch_normalize=1\n"
                  f"filters={filters}\nsize=3\nstride=2\npad=1\n"
                  f"antialiasing=1\nactivation={act}\n",
-                 h // 2, w // 2, filters)
+                 h // 2, w // 2, filters, is_aa=True)
         elif mv == "conv_asym":
             emit(f"[convolutional]\nbatch_normalize={bn}\n"
                  f"filters={filters}\nsize=3\nstride_x=2\nstride_y=1\n"
@@ -128,6 +159,42 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
             emit(f"[convolutional]\nfilters={c}\nsize=1\nstride=1\npad=0\n"
                  f"activation=logistic\n", 1, 1, c)
             emit("[scale_channels]\nfrom=-3\n", fh, fw, c)
+        elif mv == "scale_wh":
+            # per-pixel gate (scale_channels_layer.c:22-33: prev c==1,
+            # from same h/w): 1-channel logistic map scales the features
+            fc = c                            # emit() mutates c
+            emit(f"[convolutional]\nfilters=1\nsize=1\nstride=1\npad=0\n"
+                 f"activation=logistic\n", h, w, 1)
+            emit("[scale_channels]\nfrom=-2\nscale_wh=1\n", h, w, fc)
+        elif mv == "maxpool_depth":
+            oc = c // 2
+            emit(f"[maxpool]\nmaxpool_depth=1\nout_channels={oc}\n"
+                 "size=2\nstride=1\n", h, w, oc)
+        elif mv == "maxpool_spp":
+            # stride-1 pool, EXPLICIT padding=0: the reference's CPU-AVX
+            # stride-1 maxpool drops left-edge taps for the first 8
+            # output columns when pad/2 > 0 (gemm.c:2126-2148 tests tap
+            # validity only for the vector-base lane) — see
+            # test_reference_avx_maxpool_left_edge_quirk; padding=0 keeps
+            # every window in-range so the oracle binary is exact
+            emit("[maxpool]\nsize=3\nstride=1\npadding=0\n",
+                 h - 2, w - 2, c)
+        elif mv == "maxpool_asym":
+            emit("[maxpool]\nsize=2\nstride_x=2\nstride_y=1\n",
+                 h, w // 2, c)
+        elif mv == "maxpool_aa":
+            emit("[maxpool]\nsize=2\nstride=2\nantialiasing=1\n",
+                 h // 2, w // 2, c)
+        elif mv == "upsample_rev":
+            emit("[upsample]\nstride=2\nreverse=1\n", h // 2, w // 2, c)
+        elif mv == "reorg_old":
+            # the reference spells the old variant "[reorg]"
+            # (parser.cpp:132; "[reorg3d]" is the new one)
+            emit("[reorg]\nstride=2\n", h // 2, w // 2, c * 4)
+        elif mv == "bn_layer":
+            emit("[batchnorm]\n", h, w, c)
+        elif mv == "act_layer":
+            emit(f"[activation]\nactivation={act}\n", h, w, c)
         else:  # route2: concat previous two
             emit("[route]\nlayers=-1,-2\n", h, w,
                  shapes[-1][2] + shapes[-2][2])

@@ -513,3 +513,130 @@ classes=5
 anchors=10,14, 23,27, 37,58
 """
     _compare(cfg, tmp_path, harness, rng, 32, atol_act=1e-5, thresh=0.2)
+
+
+def test_reference_avx_maxpool_left_edge_quirk(harness, tmp_path, rng):
+    """DOCUMENTED REFERENCE BUG (not reproduced): the CPU-AVX stride-1
+    maxpool (gemm.c:2126-2148) tests tap validity only for the vector
+    BASE lane, so when `pad/2 > 0` the first 8 output columns of every
+    row silently drop their left-column taps.  The reference's own
+    scalar loop (maxpool_layer.cpp:256-295, used when stride_x != 
+    stride_y or in training) and GPU kernel are correct — the reference
+    disagrees with itself across builds.  We implement the correct
+    semantics (= its GPU/scalar paths); this test pins the quirk down:
+    the binary matches a numpy emulation of the buggy AVX loop
+    BIT-EXACTLY, and our output matches the correct algorithm.
+
+    The model gates (yolov4-608/yolov3-spp) pass despite their stride-1
+    SPP pools because deep random-weight nets produce spatially
+    near-uniform maps at the SPP grid — with real trained weights the
+    divergence vs the CPU-AVX reference build is expected at SPP output
+    columns 1..7 (PARITY.md DEVIATIONS)."""
+    import numpy as np
+
+    from darknet_tpu.nn.network import Network
+
+    C, HW, PS = 8, 19, 5
+    cfg = f"""[net]
+batch=1
+subdivisions=1
+width={HW}
+height={HW}
+channels=3
+[convolutional]
+batch_normalize=1
+filters={C}
+size=1
+stride=1
+pad=0
+activation=leaky
+{{POOL}}[convolutional]
+filters=20
+size=1
+stride=1
+pad=1
+activation=linear
+[yolo]
+mask=0,1
+num=3
+classes=5
+anchors=10,14, 23,27, 37,58
+"""
+
+    def make(pool, name):
+        cfg_path = str(tmp_path / f"{name}.cfg")
+        with open(cfg_path, "w") as f:
+            f.write(cfg.replace("{POOL}", pool))
+        w_path = str(tmp_path / f"{name}.weights")
+        net_t = Network.from_cfg(cfg_path, train=True, fuse=False, seed=11)
+        w = np.zeros((1, 1, C, 20), np.float32)     # identity head: raw
+        for ch in range(C):                         # head == pool output
+            w[0, 0, ch, ch] = 1.0
+        net_t.params[-2]["w"] = w
+        net_t.params[-2]["b"] = np.zeros(20, np.float32)
+        net_t.save_weights(w_path)
+        return cfg_path, w_path
+
+    x = rng.uniform(0, 1, (HW, HW, 3)).astype(np.float32)
+    cfgA, wA = make("", "noop")
+    _, rawA = _run_reference(harness, cfgA, wA, x, thresh=0.2)
+    a = rawA.reshape(20, HW, HW)[:C].copy()         # binary's pool input
+
+    cfgB, wB = make(f"[maxpool]\nsize={PS}\nstride=1\n", "pool")
+    _, rawB = _run_reference(harness, cfgB, wB, x, thresh=0.2)
+    bin_pool = rawB.reshape(20, HW, HW)[:C]
+
+    net = Network.from_cfg(cfgB, weights=wB, fuse=True)
+    heads, _ = net.forward_heads(x[None])
+    our_pool = np.transpose(np.asarray(heads[-1][0]), (2, 0, 1))[:C]
+
+    off = -((PS - 1) // 2)
+
+    def pool_correct(a):
+        out = np.full_like(a, -np.inf)
+        for n in range(PS):
+            for m in range(PS):
+                for i in range(HW):
+                    ch = off + i + n
+                    if not (0 <= ch < HW):
+                        continue
+                    for j in range(HW):
+                        cw = off + j + m
+                        if 0 <= cw < HW:
+                            out[:, i, j] = np.maximum(out[:, i, j],
+                                                      a[:, ch, cw])
+        return out
+
+    def pool_quirk(a):
+        """gemm.c:2126-2148: 8-wide vector blocks, validity tested only
+        at the base lane; correct scalar tail."""
+        out = np.full_like(a, -np.inf)
+        for i in range(HW):
+            j = 0
+            while j < HW - 8 - (PS - 1):
+                for n in range(PS):
+                    for m in range(PS):
+                        ch, cw = off + i + n, off + j + m
+                        if not (0 <= ch < HW and 0 <= cw < HW):
+                            continue            # drops ALL 8 lanes' tap
+                        seg = a[:, ch, cw:cw + 8]
+                        out[:, i, j:j + seg.shape[1]] = np.maximum(
+                            out[:, i, j:j + seg.shape[1]], seg)
+                j += 8
+            for jj in range(j, HW):
+                for n in range(PS):
+                    for m in range(PS):
+                        ch, cw = off + i + n, off + jj + m
+                        if 0 <= ch < HW and 0 <= cw < HW:
+                            out[:, i, jj] = np.maximum(out[:, i, jj],
+                                                       a[:, ch, cw])
+        return out
+
+    pc, pq = pool_correct(a), pool_quirk(a)
+    # ours == correct algorithm
+    np.testing.assert_allclose(our_pool, pc, atol=1e-6)
+    # binary == buggy AVX algorithm, bit-exact — and visibly != correct
+    np.testing.assert_array_equal(bin_pool, pq)
+    assert np.abs(bin_pool - pc).max() > 0.01
+    bad_cols = sorted(set(np.argwhere(np.abs(bin_pool - pc) > 1e-4)[:, 2]))
+    assert all(1 <= col <= 7 for col in bad_cols)
