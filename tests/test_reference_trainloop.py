@@ -186,3 +186,111 @@ def test_train_ab_vs_reference(harness, tmp_path):
     # 4. our valid pipeline agrees with the binary's verdict on the same
     #    weights (tie-heavy trained score distributions)
     assert abs(our_map_self - our_map) < 0.02, (our_map_self, our_map)
+
+    # 5. documented reference-CPU quirk (PARITY.md DEVIATIONS #14): the
+    #    fork's CPU BackwardBatchnormLayer never computes bias_updates
+    #    (batchnorm_layer.cpp:240-256 — its GPU path DOES, :356), so BN
+    #    beta stays at its zero init forever on CPU.  We train beta like
+    #    its GPU build / upstream.  Pin the quirk so a reference change
+    #    would surface here.
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.weights.io import load_weights as _lw
+
+    g_chk = build_graph(cfg_path, train=True)
+    ref_params, _, _ = _lw(g_chk, ref_w)
+    our_params, _, _ = _lw(g_chk, our_w)
+    bn_idx = [i for i, l in enumerate(g_chk.layers)
+              if getattr(l, "batch_normalize", False)]
+    assert bn_idx
+    for i in bn_idx:
+        assert np.abs(ref_params[i]["b"]).max() == 0.0, \
+            f"reference CPU build now trains BN beta (layer {i})?"
+    assert any(np.abs(our_params[i]["b"]).max() > 0 for i in bn_idx)
+
+
+# learning_rate halved vs the yolo gate: the Gaussian NLL landscape is
+# spiky (giant coordinate deltas when sigma collapses — the BINARY
+# produces the same |delta|~256 spikes at the same states, verified on a
+# captured pre-spike checkpoint), and at lr=0.002 convergence is
+# seed-luck on BOTH sides (our sweep: seeds {3,7,11} collapse to the
+# predict-nothing basin, seed 5 converges; at lr=0.001 every seed
+# converges).  The A/B gate needs a regime where both sides converge
+# reliably, not a coin flip.
+GAUSSIAN_CFG = CFG.replace("""[convolutional]
+filters=27
+size=1
+activation=linear
+
+[yolo]""", """[convolutional]
+filters=39
+size=1
+activation=linear
+
+[Gaussian_yolo]""").replace("learning_rate=0.002", "learning_rate=0.001")
+
+
+def test_train_ab_vs_reference_gaussian(harness, tmp_path):
+    """The same symmetric train-A/B gate for the Gaussian-YOLO head
+    (gaussian_yolo_layer.cpp): both sides train 600 iters from one init
+    through their own full pipelines (NLL coordinate loss, uc-scaled
+    detection probs), and the binary's valid mode judges both final
+    weight files."""
+    files = generate(str(tmp_path / "ds"), n_train=480, n_val=80, seed=4321)
+    cfg_path = str(tmp_path / "g.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(GAUSSIAN_CFG)
+
+    from darknet_tpu.nn.network import Network
+
+    init_w = str(tmp_path / "init.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=7).save_weights(init_w)
+
+    ref_w = str(tmp_path / "ref_final.weights")
+    ref_losses_bin = str(tmp_path / "ref_losses.bin")
+    r = subprocess.run(
+        [harness, "trainloop", cfg_path, init_w, files["train_list"],
+         str(N_ITERS), ref_w, ref_losses_bin],
+        capture_output=True, timeout=3000, cwd=BUILD_DIR)
+    assert r.returncode == 0, r.stderr[-800:]
+    with open(ref_losses_bin, "rb") as f:
+        (n,) = struct.unpack("<i", f.read(4))
+        ref_losses = np.frombuffer(f.read(4 * n), dtype="<f4")
+
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    our_losses = []
+    tr = DetectorTrainer(
+        cfg_path, files["train_paths"], weights=init_w, classes=4,
+        save_dir=str(tmp_path / "backup"), save_name="ours",
+        loader_threads=4, seed=3, log=lambda *a: None)
+    tr.net.max_iter = max(tr.net.max_iter, N_ITERS)
+    orig_step = tr.metrics.step
+    tr.metrics.step = lambda it, **kw: (our_losses.append(kw["loss"]),
+                                        orig_step(it, **kw))[-1]
+    tr.train(max_iters=N_ITERS)
+    our_w = tr.save(suffix="ab")
+    tr.loader.close()
+
+    ref_map = _ref_valid_map(harness, files["data"], cfg_path, ref_w,
+                             str(tmp_path / "ref_map.bin"))
+    our_map = _ref_valid_map(harness, files["data"], cfg_path, our_w,
+                             str(tmp_path / "our_map.bin"))
+    init_map = _ref_valid_map(harness, files["data"], cfg_path, init_w,
+                              str(tmp_path / "init_map.bin"))
+
+    print(f"\n[gaussian] mAP@0.5 after {N_ITERS} iters: ref={ref_map:.4f} "
+          f"ours={our_map:.4f} init={init_map:.4f}")
+
+    assert ref_map > 0.10, ref_map
+    assert our_map > 0.10, our_map
+    assert our_map > 10 * max(init_map, 1e-3)
+    # the reference side's mAP at 600 iters varies run to run with its
+    # thread-timing-dependent loader (observed 0.12-0.26 on this data);
+    # ours is deterministic (~0.25).  Gate agreement at the observed
+    # spread plus margin.
+    assert abs(our_map - ref_map) < 0.20, (our_map, ref_map)
+    assert np.median(ref_losses[-50:]) < 0.2 * np.median(ref_losses[:10]), \
+        (np.median(ref_losses[-50:]), np.median(ref_losses[:10]))
+    assert np.median(our_losses[-50:]) < 0.2 * np.median(our_losses[:10]), \
+        (np.median(our_losses[-50:]), np.median(our_losses[:10]))
