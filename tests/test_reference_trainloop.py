@@ -207,6 +207,26 @@ def test_train_ab_vs_reference(harness, tmp_path):
             f"reference CPU build now trains BN beta (layer {i})?"
     assert any(np.abs(our_params[i]["b"]).max() > 0 for i in bn_idx)
 
+    # 6. TRAINED-weights inference activation parity.  The random-init
+    #    activation gates can mask spatially-structured bugs (deep
+    #    random nets produce near-uniform maps — how the reference's
+    #    AVX maxpool edge bug stayed invisible, DEVIATIONS #13); rerun
+    #    the head-activation gate on the binary's OWN trained weights
+    #    over real val images.
+    from tests.test_reference_parity import _run_reference
+    from darknet_tpu.data.image import load_image_rgb, resize_image_darknet
+
+    net_chk = Network.from_cfg(cfg_path, weights=ref_w, fuse=True)
+    for p in files["val_paths"][:3]:
+        xi = resize_image_darknet(load_image_rgb(p), g_chk.net.w,
+                                  g_chk.net.h)
+        _, ref_raw = _run_reference(harness, cfg_path, ref_w, xi,
+                                    thresh=0.25)
+        heads, _ = net_chk.forward_heads(xi[None])
+        ours_raw = np.transpose(np.asarray(heads[-1][0]), (2, 0, 1)).ravel()
+        np.testing.assert_allclose(ours_raw, ref_raw, rtol=2e-3, atol=2e-5,
+                                   err_msg=f"trained-weights parity on {p}")
+
 
 # learning_rate halved vs the yolo gate: the Gaussian NLL landscape is
 # spiky (giant coordinate deltas when sigma collapses — the BINARY
