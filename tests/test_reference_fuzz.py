@@ -229,3 +229,41 @@ def test_random_graph_parity_nonsquare(harness, tmp_path, rng, seed):
     cfg = random_cfg(seed, size=48, width=64)
     _compare(cfg, tmp_path, harness, rng, (48, 64), atol_act=2e-5,
              thresh=0.2)
+
+
+@pytest.mark.parametrize("seed", [59, 331])
+def test_random_graph_resize_parity(harness, tmp_path, rng, seed):
+    """Network.resize (the ResizeNetwork analogue, network.cpp:255-410):
+    a random graph built at 64 and resized to 96 must match the binary
+    parsing the SAME cfg at 96 directly — shapes re-derive through every
+    op's resize semantics with parameters carried over unchanged."""
+    import jax  # noqa: F401  (env check only)
+
+    from darknet_tpu.config.cfg import patch_cfg_dims
+    from darknet_tpu.nn.network import Network
+    from tests.test_reference_parity import _run_reference
+
+    cfg = random_cfg(seed)
+    cfg_path = str(tmp_path / "m.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    weights = str(tmp_path / "m.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=11).save_weights(weights)
+
+    # ours: build at 64, RESIZE to 96 (params carry over)
+    net = Network.from_cfg(cfg_path, weights=weights, fuse=True)
+    net96 = net.resize(96, 96)
+    assert (net96.net.w, net96.net.h) == (96, 96)
+
+    # reference: parse the patched cfg at 96 (its ResizeNetwork re-derives
+    # the same shapes the parser would)
+    cfg96_path = str(tmp_path / "m96.cfg")
+    with open(cfg96_path, "w") as f:
+        f.write(patch_cfg_dims(cfg, 96, 96))
+
+    x = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    _, ref_raw = _run_reference(harness, cfg96_path, weights, x, thresh=0.2)
+    heads, _ = net96.forward_heads(x[None])
+    ours_raw = np.transpose(np.asarray(heads[-1][0]), (2, 0, 1)).ravel()
+    np.testing.assert_allclose(ours_raw, ref_raw, rtol=2e-3, atol=2e-5)
