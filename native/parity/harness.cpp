@@ -203,6 +203,54 @@ static int mode_trainloop(int argc, char** argv)
   return 0;
 }
 
+static int mode_resize(int argc, char** argv)
+{
+  // harness resize cfg weights new_w new_h in.bin out.bin [thresh] [nms]
+  // -> LoadNetwork at the cfg dims, then the reference's OWN
+  //    ResizeNetwork (network.cpp:255-410) before predicting — the
+  //    multi-scale resize path, distinct from re-parsing the cfg.
+  if (argc < 8) {
+    fprintf(stderr,
+            "usage: harness resize cfg weights w h in.bin out.bin\n");
+    return 1;
+  }
+  float thresh = argc > 8 ? atof(argv[8]) : 0.25f;
+  float nms = argc > 9 ? atof(argv[9]) : 0.45f;
+  Network net = {0};
+  if (!LoadNetwork(&net, argv[2], argv[3], false, false)) {
+    fprintf(stderr, "load failed\n");
+    return 2;
+  }
+  int w = atoi(argv[4]), h = atoi(argv[5]);
+  ResizeNetwork(&net, w, h);
+  int insz = net.w * net.h * net.c;
+  float* input = (float*)malloc(insz * sizeof(float));
+  FILE* fi = fopen(argv[6], "rb");
+  fread(input, sizeof(float), insz, fi);
+  fclose(fi);
+  NetworkPredict(&net, input);
+  int nboxes = 0;
+  Detection* dets = GetNetworkBoxes(&net, thresh, &nboxes);
+  layer* l = &net.layers[net.n - 1];
+  NmsSort(dets, nboxes, l->classes, nms, l->nms_kind, l->beta_nms);
+  FILE* fo = fopen(argv[7], "wb");
+  fwrite(&nboxes, sizeof(int), 1, fo);
+  int classes = l->classes;
+  fwrite(&classes, sizeof(int), 1, fo);
+  for (int i = 0; i < nboxes; i++) {
+    float row[5] = {dets[i].bbox.x, dets[i].bbox.y, dets[i].bbox.w,
+                    dets[i].bbox.h, dets[i].objectness};
+    fwrite(row, sizeof(float), 5, fo);
+    fwrite(dets[i].prob, sizeof(float), classes, fo);
+  }
+  int outs = l->outputs;
+  fwrite(&outs, sizeof(int), 1, fo);
+  fwrite(l->output, sizeof(float), outs, fo);
+  fclose(fo);
+  fprintf(stderr, "ok resize %dx%d %d boxes\n", w, h, nboxes);
+  return 0;
+}
+
 int main(int argc, char** argv)
 {
   init_cpu();
@@ -210,5 +258,7 @@ int main(int argc, char** argv)
   if (argc > 1 && strcmp(argv[1], "valid") == 0) return mode_valid(argc, argv);
   if (argc > 1 && strcmp(argv[1], "trainloop") == 0)
     return mode_trainloop(argc, argv);
+  if (argc > 1 && strcmp(argv[1], "resize") == 0)
+    return mode_resize(argc, argv);
   return mode_predict(argc, argv);
 }

@@ -193,7 +193,10 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
             emit("[maxpool]\nsize=2\nstride=2\nantialiasing=1\n",
                  h // 2, w // 2, c)
         elif mv == "upsample_rev":
-            emit("[upsample]\nstride=2\nreverse=1\n", h // 2, w // 2, c)
+            # reverse = NEGATIVE stride in this fork
+            # (upsample_layer.c:19-25; a `reverse=` key is ignored with
+            # an Unused-field warning)
+            emit("[upsample]\nstride=-2\n", h // 2, w // 2, c)
         elif mv == "reorg_old":
             # the reference spells the old variant "[reorg]"
             # (parser.cpp:132; "[reorg3d]" is the new one)
@@ -267,3 +270,84 @@ def test_random_graph_resize_parity(harness, tmp_path, rng, seed):
     heads, _ = net96.forward_heads(x[None])
     ours_raw = np.transpose(np.asarray(heads[-1][0]), (2, 0, 1)).ravel()
     np.testing.assert_allclose(ours_raw, ref_raw, rtol=2e-3, atol=2e-5)
+
+    # and against the binary's OWN ResizeNetwork path
+    # (network.cpp:255-410 — the in-training multi-scale resize, distinct
+    # from re-parsing the cfg at the new dims).  Antialiased graphs are
+    # excluded: the reference's resize loop threads the PRE-blur dims
+    # downstream (network.cpp:374-375 has no antialiasing case, unlike
+    # its parse loop at parser.cpp:1383-1398) and never resizes the blur
+    # sublayer, so its own resize disagrees with its own parser — see
+    # test_reference_resize_antialias_quirk / PARITY DEVIATIONS #15.
+    if "antialiasing=1" not in cfg:
+        rz_raw = _run_reference_resize(harness, cfg_path, weights, 96, 96, x)
+        np.testing.assert_allclose(ours_raw, rz_raw, rtol=2e-3, atol=2e-5,
+                                   err_msg="vs the binary's ResizeNetwork")
+
+
+def _run_reference_resize(harness, cfg_path, weights, w, h, x_hwc,
+                          thresh=0.2):
+    import struct
+    import subprocess
+
+    from tests.test_reference_parity import BUILD_DIR
+
+    x_chw = np.ascontiguousarray(np.transpose(x_hwc, (2, 0, 1)))
+    inb = os.path.join(BUILD_DIR, "rz_in.bin")
+    outb = os.path.join(BUILD_DIR, "rz_out.bin")
+    x_chw.astype("<f4").tofile(inb)
+    r = subprocess.run([harness, "resize", cfg_path, weights, str(w),
+                        str(h), inb, outb, str(thresh)],
+                       capture_output=True, timeout=900, cwd=BUILD_DIR)
+    assert r.returncode == 0, r.stderr[-500:]
+    data = open(outb, "rb").read()
+    nboxes, classes = struct.unpack("<ii", data[:8])
+    off = 8 + nboxes * 4 * (5 + classes)
+    (outs,) = struct.unpack("<i", data[off:off + 4])
+    return np.frombuffer(data[off + 4:off + 4 + 4 * outs], dtype="<f4")
+
+
+def test_reference_resize_antialias_quirk(harness, tmp_path, rng):
+    """DOCUMENTED REFERENCE BUG (not reproduced): ResizeNetwork threads
+    each layer's own out dims downstream (network.cpp:374-375) with NO
+    antialiasing special-case, while the parse loop explicitly threads
+    the blur sublayer's dims (parser.cpp:1383-1398) — and the blur
+    sublayer itself is never resized.  So for any cfg with an
+    antialiased layer, the reference's multi-scale resize path produces
+    a DIFFERENT geometry than its own parser at the same dims (every
+    post-antialias layer runs 2x per spatial dim).  Our resize
+    re-derives shapes exactly like the parse loop.  Pinned here: on a
+    seed-331 fuzz graph (antialiased maxpool), the binary's
+    ResizeNetwork head is 4x the size of its own re-parse head."""
+    from darknet_tpu.nn.network import Network
+    from tests.test_reference_parity import _run_reference
+
+    cfg = random_cfg(331)
+    assert "antialiasing=1" in cfg
+    cfg_path = str(tmp_path / "m.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    weights = str(tmp_path / "m.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=11).save_weights(weights)
+
+    from darknet_tpu.config.cfg import patch_cfg_dims
+
+    cfg96_path = str(tmp_path / "m96.cfg")
+    with open(cfg96_path, "w") as f:
+        f.write(patch_cfg_dims(cfg, 96, 96))
+
+    x = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    _, parse_raw = _run_reference(harness, cfg96_path, weights, x,
+                                  thresh=0.2)
+    resize_raw = _run_reference_resize(harness, cfg_path, weights, 96, 96,
+                                       x)
+    # the reference disagrees with itself: resize threads pre-blur dims
+    assert resize_raw.size == 4 * parse_raw.size, \
+        (resize_raw.size, parse_raw.size)
+    # ours agrees with its parser (the consistent semantics)
+    net96 = Network.from_cfg(cfg_path, weights=weights, fuse=True) \
+        .resize(96, 96)
+    heads, _ = net96.forward_heads(x[None])
+    ours_raw = np.transpose(np.asarray(heads[-1][0]), (2, 0, 1)).ravel()
+    np.testing.assert_allclose(ours_raw, parse_raw, rtol=2e-3, atol=2e-5)
