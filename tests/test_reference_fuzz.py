@@ -165,14 +165,23 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
             emit("[avgpool]\n", 1, 1, c)
             emit(f"[convolutional]\nfilters={c}\nsize=1\nstride=1\npad=0\n"
                  f"activation=logistic\n", 1, 1, c)
-            emit("[scale_channels]\nfrom=-3\n", fh, fw, c)
+            # reuse the iteration's act draw (a fresh draw would shift
+            # every later seed); the reference's scale_channels forward
+            # uses plain activate_array — no swish/mish support
+            sca = act if act in ("leaky", "relu", "logistic", "linear",
+                                 "tanh") else "leaky"
+            emit(f"[scale_channels]\nfrom=-3\nactivation={sca}\n",
+                 fh, fw, c)
         elif mv == "scale_wh":
             # per-pixel gate (scale_channels_layer.c:22-33: prev c==1,
             # from same h/w): 1-channel logistic map scales the features
             fc = c                            # emit() mutates c
             emit(f"[convolutional]\nfilters=1\nsize=1\nstride=1\npad=0\n"
                  f"activation=logistic\n", h, w, 1)
-            emit("[scale_channels]\nfrom=-2\nscale_wh=1\n", h, w, fc)
+            sca = act if act in ("leaky", "relu", "logistic", "linear",
+                                 "tanh") else "leaky"
+            emit(f"[scale_channels]\nfrom=-2\nscale_wh=1\n"
+                 f"activation={sca}\n", h, w, fc)
         elif mv == "maxpool_depth":
             oc = c // 2
             emit(f"[maxpool]\nmaxpool_depth=1\nout_channels={oc}\n"
