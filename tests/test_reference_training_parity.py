@@ -326,7 +326,8 @@ activation=linear
     return cfg, truths
 
 
-@pytest.mark.parametrize("seed", [3, 17, 29, 43, 71, 97, 113, 151])
+@pytest.mark.parametrize("seed", [3, 17, 29, 43, 71, 97, 113, 151,
+                                  173, 193, 227, 257])
 def test_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Property-based training-math gate: random loss configurations and
     truths vs TrainNetworkDatum."""
@@ -385,7 +386,7 @@ activation=linear
     return cfg, truths
 
 
-@pytest.mark.parametrize("seed", [7, 31, 53, 89, 127])
+@pytest.mark.parametrize("seed", [7, 31, 53, 89, 127, 163, 191, 233])
 def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Gaussian-YOLO training-math fuzz: yolo_point/IoU-mu/NLL quirk space
     vs the binary (gaussian_yolo_layer.cpp:195-358, 632-648)."""
@@ -393,7 +394,7 @@ def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
     _gate(cfg, tmp_path, harness, rng, truths, atol=3e-4)
 
 
-@pytest.mark.parametrize("seed", [13, 29, 43, 71, 97, 113])
+@pytest.mark.parametrize("seed", [13, 29, 43, 71, 97, 113, 149, 181])
 def test_random_graph_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Random full graphs through ONE training datum vs the binary's
     TrainNetworkDatum: gates the train-mode forward (live BN, dilated /
