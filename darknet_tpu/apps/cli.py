@@ -130,15 +130,39 @@ def _load_network(args, train=False):
     return net
 
 
-def _proc_frame(net, md, frame_bgr, args, track_manager=None):
-    """ProcImage (yolo_core.cpp:104-137): resize -> predict -> NMS ->
-    most-prob dets -> track/draw.  The device path is literally
-    submit + finalize (the streaming halves), so the synchronous and
-    pipelined code paths cannot drift apart."""
+def _host_tail(net, md, frame_bgr, dets, args, track_manager=None):
+    """Shared per-frame host tail: letterbox box correction -> most-prob
+    dets -> track -> draw.  The ONLY copy of this logic — the
+    synchronous, pipelined and batched paths all delegate here."""
     import cv2
 
     from darknet_tpu.apps.tracker import get_most_prob_dets
     from darknet_tpu.apps import visualize as viz
+
+    if getattr(args, "letter_box", False) and dets:
+        from darknet_tpu.data.image import correct_boxes_letterbox
+
+        ih, iw = frame_bgr.shape[:2]
+        for d in dets:
+            d.bbox = tuple(correct_boxes_letterbox(
+                np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
+    most_prob = get_most_prob_dets(dets)
+    # cvtColor allocates a fresh buffer; no defensive copy needed
+    disp_rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+    if track_manager is not None:
+        track_manager.track(most_prob)
+        viz.draw_trackings(disp_rgb, track_manager.get_tracks(), md.names)
+    else:
+        viz.draw_detections(disp_rgb, most_prob, md.names)
+    return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
+
+
+def _proc_frame(net, md, frame_bgr, args, track_manager=None):
+    """ProcImage (yolo_core.cpp:104-137): resize -> predict -> NMS ->
+    most-prob dets -> track/draw.  The device path is literally
+    submit + finalize (the streaming halves), the host path shares
+    _host_tail — neither can drift from the pipelined code."""
+    import cv2
 
     if _use_device_nms(args):
         # production serving path (VERDICT r2 #5): decode + top-k + exact
@@ -156,23 +180,7 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None):
         resized = cv2.resize(rgb, (net.net.w, net.net.h),
                              interpolation=cv2.INTER_LINEAR)
     dets = net.detect(resized, thresh=args.thresh, nms=args.nms_thresh)
-    if getattr(args, "letter_box", False) and dets:
-        from darknet_tpu.data.image import correct_boxes_letterbox
-
-        ih, iw = frame_bgr.shape[:2]
-        for d in dets:
-            d.bbox = tuple(correct_boxes_letterbox(
-                np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
-    most_prob = get_most_prob_dets(dets)
-
-    disp_rgb = cv2.cvtColor(frame_bgr.copy(), cv2.COLOR_BGR2RGB)
-    if track_manager is not None:
-        track_manager.track(most_prob)
-        tracks = track_manager.get_tracks()
-        viz.draw_trackings(disp_rgb, tracks, md.names)
-    else:
-        viz.draw_detections(disp_rgb, most_prob, md.names)
-    return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
+    return _host_tail(net, md, frame_bgr, dets, args, track_manager)
 
 
 def _submit_frame(net, frame_bgr, args):
@@ -199,28 +207,9 @@ def _submit_frame(net, frame_bgr, args):
 
 def _finalize_frame(net, md, frame_bgr, out, args, track_manager=None):
     """Streaming half 2: materialize a _submit_frame result and run the
-    host tail (letterbox correction, most-prob, track, draw)."""
-    import cv2
-
-    from darknet_tpu.apps import visualize as viz
-    from darknet_tpu.apps.tracker import get_most_prob_dets
-
+    shared host tail (letterbox correction, most-prob, track, draw)."""
     dets = net.device_out_to_dets(*out)[0]
-    if getattr(args, "letter_box", False) and dets:
-        from darknet_tpu.data.image import correct_boxes_letterbox
-
-        ih, iw = frame_bgr.shape[:2]
-        for d in dets:
-            d.bbox = tuple(correct_boxes_letterbox(
-                np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
-    most_prob = get_most_prob_dets(dets)
-    disp_rgb = cv2.cvtColor(frame_bgr.copy(), cv2.COLOR_BGR2RGB)
-    if track_manager is not None:
-        track_manager.track(most_prob)
-        viz.draw_trackings(disp_rgb, track_manager.get_tracks(), md.names)
-    else:
-        viz.draw_detections(disp_rgb, most_prob, md.names)
-    return cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob
+    return _host_tail(net, md, frame_bgr, dets, args, track_manager)
 
 
 def _proc_frames_batch(net, md, frames_bgr, args, track_managers=None):
@@ -288,36 +277,15 @@ def _submit_frames_batch(net, frames_bgr, args):
 
 def _finalize_frames_batch(net, md, frames_bgr, sub, args,
                            track_managers=None):
-    """Streaming half 2 for N cameras: materialize + host tail."""
-    import cv2
-
-    from darknet_tpu.apps import visualize as viz
-    from darknet_tpu.apps.tracker import get_most_prob_dets
-
-    letter = getattr(args, "letter_box", False)
+    """Streaming half 2 for N cameras: materialize + shared host tail."""
     kind, payload = sub
     dets_b = (net.device_out_to_dets(*payload) if kind == "dev"
               else payload)
-
-    outs = []
-    for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b)):
-        if letter and dets:
-            from darknet_tpu.data.image import correct_boxes_letterbox
-
-            ih, iw = frame.shape[:2]
-            for d in dets:
-                d.bbox = tuple(correct_boxes_letterbox(
-                    np.asarray(d.bbox), iw, ih, net.net.w, net.net.h))
-        most_prob = get_most_prob_dets(dets)
-        disp_rgb = cv2.cvtColor(frame.copy(), cv2.COLOR_BGR2RGB)
-        tm = track_managers[i] if track_managers else None
-        if tm is not None:
-            tm.track(most_prob)
-            viz.draw_trackings(disp_rgb, tm.get_tracks(), md.names)
-        else:
-            viz.draw_detections(disp_rgb, most_prob, md.names)
-        outs.append((cv2.cvtColor(disp_rgb, cv2.COLOR_RGB2BGR), most_prob))
-    return outs
+    return [
+        _host_tail(net, md, frame, dets, args,
+                   track_managers[i] if track_managers else None)
+        for i, (frame, dets) in enumerate(zip(frames_bgr, dets_b))
+    ]
 
 
 def mode_train(args):

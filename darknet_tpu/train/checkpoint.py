@@ -192,8 +192,23 @@ def load_checkpoint_sharded(path, params_template, opt_template):
     import jax
     import orbax.checkpoint as ocp
 
+    primary = os.path.abspath(str(path))
     resolved = resolve_sharded_dir(path)
-    if resolved is not None:
+    if resolved is not None and resolved != primary:
+        # PROMOTE the recovered sibling to the primary name: the next
+        # save unconditionally rmtree's `path.tmp` before its (slow)
+        # orbax write, so a checkpoint left at `.tmp` by a crash would
+        # be destroyed before its replacement exists — a second crash
+        # would then silently roll training back past the state this
+        # very load resumed from.
+        if jax.process_index() == 0:
+            os.rename(resolved, primary)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("darknet_tpu:ckpt_promote")
+        path = primary
+    elif resolved is not None:
         path = resolved
 
     abstract = {

@@ -134,12 +134,14 @@ class DetectorTrainer:
             if not os.path.exists(path):
                 # multi-process saves write a sharded DIRECTORY instead;
                 # resolve_sharded_dir also recovers the .tmp/.old swap
-                # siblings a crash mid-directory-swap can leave behind
+                # siblings a crash mid-directory-swap can leave behind.
+                # Keep the BASE dir name: load_checkpoint_sharded both
+                # resolves the sibling AND promotes it back to the
+                # primary name (so the next save can't destroy it).
                 from darknet_tpu.train.checkpoint import resolve_sharded_dir
 
                 alt = path[:-len(".npz")] if path.endswith(".npz") else path
-                alt = resolve_sharded_dir(alt)
-                if alt:
+                if resolve_sharded_dir(alt):
                     path = alt
                 elif isinstance(self._resume, str):
                     raise FileNotFoundError(
@@ -437,7 +439,9 @@ class DetectorTrainer:
         from darknet_tpu.train import checkpoint as ck
 
         path = path or self.state_path
-        if os.path.isdir(path):
+        if os.path.isdir(path) or ck.resolve_sharded_dir(path):
+            # a base dir name whose state sits at a .tmp/.old swap
+            # sibling resolves (and is promoted) inside the loader
             loader = ck.load_checkpoint_sharded
         else:
             loader = ck.load_checkpoint
@@ -488,12 +492,16 @@ class DetectorTrainer:
 def train_detector(data_file: str, model_file: str,
                    weights_file: str | None = None, *, clear: bool = False,
                    max_iters: int | None = None, calc_map: bool = False,
-                   **kw) -> float:
+                   loader_processes: int = 0, **kw) -> float:
     """TrainDetector with the reference's own entry signature
     (yolo_core.h:640-642: Metadata + model_file + weights_file;
     detector.cpp:27-324): resolve the .data file, build the trainer, run
-    the loop, return the final EMA avg loss.  This is the function the C
-    ABI's dtpu_train binds."""
+    the loop, return the final EMA avg loss (-1.0 when zero iterations
+    ran).  This is the function the C ABI's dtpu_train binds —
+    loader_processes therefore defaults to 0 (thread pool): the spawn
+    process pool execs sys.executable, which inside an embedding C
+    application is not guaranteed to be a provisioned Python
+    interpreter."""
     from darknet_tpu.config.metadata import Metadata
 
     md = Metadata.from_file(data_file)
@@ -507,7 +515,7 @@ def train_detector(data_file: str, model_file: str,
         clear=clear, calc_map=calc_map and bool(val_paths),
         val_paths=val_paths, save_dir=md.backup_dir,
         save_name=os.path.splitext(os.path.basename(model_file))[0]
-        or "model", **kw)
+        or "model", loader_processes=loader_processes, **kw)
     try:
         return float(trainer.train(max_iters=max_iters))
     finally:

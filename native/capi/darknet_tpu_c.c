@@ -2,6 +2,7 @@
  * See darknet_tpu_c.h.  Reference surface: yolo_core.h:625-663. */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -330,7 +331,8 @@ float dtpu_train(const char* data_file, const char* cfg_path,
 {
   ensure_python();
   PyGILState_STATE gil = PyGILState_Ensure();
-  float v = -1.0f;
+  float v = NAN; /* error sentinel: -1.0 is a LEGITIMATE return (the
+                    EMA avg-loss init, when zero iterations ran) */
   PyObject *mod = NULL, *fn = NULL, *args = NULL, *kw = NULL, *res = NULL;
   mod = PyImport_ImportModule("darknet_tpu.train.trainer");
   if (!mod) goto done;
@@ -354,7 +356,7 @@ float dtpu_train(const char* data_file, const char* cfg_path,
 done:
   Py_XDECREF(res); Py_XDECREF(kw); Py_XDECREF(args); Py_XDECREF(fn);
   Py_XDECREF(mod);
-  if (PyErr_Occurred()) { PyErr_Print(); v = -1.0f; }
+  if (PyErr_Occurred()) { PyErr_Print(); v = NAN; }
   PyGILState_Release(gil);
   return v;
 }

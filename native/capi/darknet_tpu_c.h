@@ -68,7 +68,9 @@ void dtpu_free(dtpu_net net);
  * training loop driven by the .data file (train list, backup dir for
  * checkpoints).  weights_path may be NULL/"" (random init); clear != 0
  * resets the seen counter; max_iters > 0 bounds the run (0 = the cfg's
- * max_iter).  Returns the final EMA avg loss, or -1.0f on error. */
+ * max_iter).  Returns the final EMA avg loss (-1.0 when zero iterations
+ * ran, e.g. the loaded weights already reached max_iter), or NaN on
+ * error — check with isnan(). */
 float dtpu_train(const char* data_file, const char* cfg_path,
                  const char* weights_path, int clear, int max_iters);
 

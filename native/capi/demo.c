@@ -1,5 +1,6 @@
 /* Minimal C client of the darknet_tpu C ABI: load a cfg, run one
  * detection pass, print the results.  Exercised by tests/test_capi.py. */
+#include <math.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -93,7 +94,7 @@ int main(int argc, char** argv)
   /* TrainDetector from C: two bounded iterations over the .data file */
   if (argc > 5 && argv[5][0]) {
     float loss = dtpu_train(argv[5], argv[1], NULL, 0, 2);
-    if (loss < 0) { fprintf(stderr, "train failed\n"); return 8; }
+    if (isnan(loss)) { fprintf(stderr, "train failed\n"); return 8; }
     printf("train avg loss: %.3f\n", loss);
   }
 

@@ -133,6 +133,26 @@ def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path, rng):
                     jax.tree_util.tree_leaves(pb)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
 
+    # crash-window recovery + PROMOTION: state stranded at the `.tmp`
+    # swap sibling loads under the base name AND is renamed back to it —
+    # otherwise the NEXT save's rmtree(tmp) would destroy the newest
+    # durable checkpoint before its replacement is complete
+    import os
+    import shutil
+
+    os.rename(ckdir, str(ckdir) + ".tmp")
+    p3, o3, seen3, _, _ = load_checkpoint_sharded(ckdir, pm, om)
+    assert seen3 == batch
+    assert ckdir.is_dir() and not os.path.exists(str(ckdir) + ".tmp")
+    for a, b in zip(jax.tree_util.tree_leaves(pm),
+                    jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # and the next save over the promoted dir works
+    save_checkpoint_sharded(ckdir, p3, o3, seen=2 * batch)
+    _, _, seen4, _, _ = load_checkpoint_sharded(ckdir, pm, om)
+    assert seen4 == 2 * batch
+    shutil.rmtree(ckdir)
+
 
 def test_trainer_full_state_resume_is_exact(tmp_path):
     """DetectorTrainer writes a rolling full-state checkpoint; a new

@@ -293,6 +293,11 @@ tr = DetectorTrainer(cfg, paths * 16, classes=1, mesh=mesh,
                      save_dir=os.path.join(datadir, "bk"), save_name="m",
                      loader_threads=1, loader_processes=0,
                      log=lambda *a: None)
+# the cfg derives max_iter = iter_per_epoch (8) — far fewer iterations
+# than the SIGTERM timer needs; pin it so the run outlasts the signal
+# (a completed run would restore the default handler and the late kill
+# would hard-terminate the process: a false failure)
+tr.net.max_iter = 200
 
 # deliver SIGTERM to process 0 ONLY, a beat into the loop: without the
 # per-iteration cross-process consensus, process 1 would block forever
