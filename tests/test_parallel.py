@@ -128,6 +128,27 @@ def test_weight_averaging_compat_mode(setup):
     assert diverged
 
 
+def test_dryrun_probe_times_out_on_hung_backend(monkeypatch):
+    """The axon plugin's jax.devices() HANGS (no error) when the tunnel
+    relay is down; the dryrun's device probe must time out and report 0
+    devices so the driver's dryrun falls back to the CPU-child bootstrap
+    instead of wedging forever (observed live on 2026-08-18)."""
+    import os
+    import sys
+    import time
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    monkeypatch.setattr(jax, "devices", lambda *a: time.sleep(30))
+    t0 = time.time()
+    assert ge._probe_device_count(timeout_s=1.0) == 0
+    assert time.time() - t0 < 10
+
+
 def test_dryrun_multichip_driver_contract():
     """Round-1 regression (VERDICT missing #1): the driver calls
     dryrun_multichip(8) directly in a process where jax is already
