@@ -32,10 +32,42 @@ import numpy as np
 BASELINE_IMG_S = 800.0   # 2x A100-TensorRT yolov4-608
 
 
+def _require_live_backend(timeout_s: float = 600.0):
+    """Fail fast (instead of hanging forever) when the TPU is unreachable.
+
+    The axon plugin's ``jax.devices()`` HANGS with no error when the
+    tunnel relay is down (observed 2026-08-17/18); probe it in a daemon
+    thread so a dead backend aborts the bench with a diagnostic rather
+    than wedging the driver.  600 s is far above the healthy-case cost
+    (device enumeration is sub-second; only *compiles* are slow).
+    """
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "yolov4_608_images_per_sec",
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "error": f"jax.devices() unresponsive after {timeout_s:.0f}s "
+                     "(TPU tunnel down?)"}))
+        sys.exit(1)
+
+
 def main():
     from darknet_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+
+    _require_live_backend()
 
     import jax
     import jax.numpy as jnp
