@@ -23,6 +23,32 @@ from darknet_tpu.graph.ir import (
 
 _NET_TYPES = ("[net]", "[network]")
 
+# Activations with NO case in the reference's generic ``activate()`` /
+# ``activate_kernel()`` switch (activations.c:97-137,
+# activation_kernels.cu:144-184): the switch default returns 0.0f, so the
+# layers that activate through the generic path — [activation], [local],
+# [scale_channels], [connected]; conv and shortcut have dedicated mish/
+# swish branches — silently ZERO their output for these activations, on
+# both the CPU and GPU builds.  Reproduced by rewriting to the "zero"
+# activation (ops/activations.zero); gradient() likewise defaults to 0
+# for mish/swish, which autodiff of the constant matches.  Found by fuzz
+# seed 907 ([activation] activation=mish after an antialiased conv).
+_GENERIC_ACT_ZEROED = frozenset((
+    "mish", "swish", "normalize_channels", "normalize_channels_softmax",
+    "normalize_channels_softmax_maxval",
+))
+
+
+def _generic_path_activation(act: str, kind: str) -> str:
+    """Rewrite activations the reference's generic path zeroes (above)."""
+    if act in _GENERIC_ACT_ZEROED:
+        warnings.warn(
+            f"[{kind}] activation={act}: the reference's generic activate() "
+            "has no case for it and returns 0 — output is zeroed "
+            "(activations.c:97-137); matching.")
+        return "zero"
+    return act
+
 # cfg section name -> canonical kind (StrToLayerType, parser.cpp:102-147)
 _SECTION_KINDS = {
     "[shortcut]": "shortcut",
@@ -543,7 +569,9 @@ def _parse_scale_channels(s: Section, p: dict, index: int,
             raise ValueError("scale_channels: spatial dims mismatch")
     activation = normalize_activation(s.get_str("activation", "linear"))
     if activation in ("swish", "mish"):
+        # mirrors the reference's parse-time printf (parser.cpp:797-801)
         warnings.warn("[scale_channels] layer doesn't support SWISH or MISH")
+    activation = _generic_path_activation(activation, "scale_channels")
     return ScaleChannelsIR(
         index=index, h=h, w=w, c=c, inputs=src.outputs,
         out_h=src.out_h, out_w=src.out_w, out_c=src.out_c,
@@ -607,8 +635,8 @@ def build_graph(cfg, train: bool = False) -> Graph:
             size = s.get_int("size", 1)
             stride = s.get_int("stride", 1)
             pad = s.get_int("pad", 0)
-            activation = normalize_activation(
-                s.get_str("activation", "logistic"))
+            activation = _generic_path_activation(normalize_activation(
+                s.get_str("activation", "logistic")), "local")
             out_h = (h + 2 * pad - size) // stride + 1
             out_w = (w + 2 * pad - size) // stride + 1
             l = LocalIR(
@@ -617,7 +645,8 @@ def build_graph(cfg, train: bool = False) -> Graph:
                 n=n, size=size, stride=stride, pad=pad, activation=activation,
             )
         elif kind == "activation":
-            act = normalize_activation(s.get_str("activation", "linear"))
+            act = _generic_path_activation(normalize_activation(
+                s.get_str("activation", "linear")), "activation")
             l = ActivationIR(
                 index=index, h=p["h"], w=p["w"], c=p["c"], inputs=p["inputs"],
                 out_h=p["h"], out_w=p["w"], out_c=p["c"], outputs=p["inputs"],
@@ -625,7 +654,8 @@ def build_graph(cfg, train: bool = False) -> Graph:
             )
         elif kind == "connected":
             output = s.get_int("output", 1)
-            act = normalize_activation(s.get_str("activation", "logistic"))
+            act = _generic_path_activation(normalize_activation(
+                s.get_str("activation", "logistic")), "connected")
             l = ConnectedIR(
                 index=index, h=1, w=1, c=p["inputs"], inputs=p["inputs"],
                 out_h=1, out_w=1, out_c=output, outputs=output,

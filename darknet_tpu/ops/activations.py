@@ -135,8 +135,23 @@ def norm_chan_softmax_maxval(x):
     return e / s
 
 
+def zero(x):
+    """The reference's generic ``activate()``/``activate_kernel()`` switch
+    (activations.c:97-137, activation_kernels.cu:144-184) has NO case for
+    MISH/SWISH/NORM_CHAN* and falls through to ``return 0.0f`` — so every
+    layer that activates through the generic path ([activation], [local],
+    [scale_channels], [connected]; conv and shortcut have dedicated mish/
+    swish branches) silently ZEROES its output for those activations, on
+    both the CPU and GPU builds.  ``gradient()`` (activations.c:351-434)
+    likewise defaults to 0 for mish/swish, which autodiff of this constant
+    reproduces exactly.  The graph builder rewrites those (kind, act)
+    combos to this activation (caught by fuzz seed 907)."""
+    return jnp.zeros_like(x)
+
+
 ACTIVATION_FNS = {
     "linear": linear,
+    "zero": zero,
     "logistic": logistic,
     "loggy": loggy,
     "relu": relu,

@@ -32,6 +32,9 @@ def test_activation_scalars(name):
                   dtype=np.float32)
 
     def ref(x):
+        if name == "zero":
+            # the reference's generic activate() default (activations.c:137)
+            return 0.0
         if name == "linear":
             return x
         if name == "logistic":

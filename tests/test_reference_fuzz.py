@@ -229,13 +229,15 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
 
 @pytest.mark.parametrize("seed", [11, 23, 37, 41, 59, 67, 101, 137, 211,
                                   251, 263, 307, 331, 389, 401, 433, 467,
-                                  499, 523, 571, 601, 643, 677, 709, 751])
+                                  499, 523, 571, 601, 643, 677, 709, 751,
+                                  773, 809, 857, 907, 953])
 def test_random_graph_parity(harness, tmp_path, rng, seed):
     cfg = random_cfg(seed)
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=2e-5, thresh=0.2)
 
 
-@pytest.mark.parametrize("seed", [17, 73, 131, 197, 229, 283, 353, 419])
+@pytest.mark.parametrize("seed", [17, 73, 131, 197, 229, 283, 353, 419,
+                                  461, 509, 547])
 def test_random_graph_parity_nonsquare(harness, tmp_path, rng, seed):
     """Rectangular nets (width != height): every op's h/w handling."""
     cfg = random_cfg(seed, size=48, width=64)
@@ -243,7 +245,7 @@ def test_random_graph_parity_nonsquare(harness, tmp_path, rng, seed):
              thresh=0.2)
 
 
-@pytest.mark.parametrize("seed", [59, 331])
+@pytest.mark.parametrize("seed", [59, 331, 433])
 def test_random_graph_resize_parity(harness, tmp_path, rng, seed):
     """Network.resize (the ResizeNetwork analogue, network.cpp:255-410):
     a random graph built at 64 and resized to 96 must match the binary

@@ -422,6 +422,39 @@ anchors=10,14, 23,27
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=1e-5, thresh=0.2)
 
 
+_GENERIC_ZERO_BODIES = {
+    "activation_mish": "[activation]\nactivation=mish\n",
+    "activation_swish": "[activation]\nactivation=swish\n",
+    "activation_norm_chan": "[activation]\nactivation=normalize_channels\n",
+    "scale_channels_mish": "[avgpool]\n\n"
+                           "[scale_channels]\nfrom=-2\nactivation=mish\n",
+}
+
+
+@pytest.mark.parametrize("which", sorted(_GENERIC_ZERO_BODIES))
+def test_generic_activate_zeroes_mish_swish(harness, tmp_path, rng, which):
+    """PINNED DIALECT QUIRK (fuzz seed 907): the reference's generic
+    ``activate()``/``activate_kernel()`` switch has NO case for MISH /
+    SWISH / NORM_CHAN* and falls through to ``return 0.0f``
+    (activations.c:97-137, activation_kernels.cu:144-184) — identical on
+    the CPU and GPU builds, so it is dialect semantics, not a
+    self-inconsistency.  Every layer that activates through the generic
+    path ([activation], [local], [scale_channels], [connected]; conv and
+    shortcut have dedicated branches) silently ZEROES its output for
+    those activations.  We match (builder rewrites to the "zero"
+    activation) — gated here end to end against the binary."""
+    cfg = ("[net]\nbatch=1\nsubdivisions=1\nwidth=32\nheight=32\n"
+           "channels=3\n\n"
+           "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+           "stride=1\npad=1\nactivation=leaky\n\n"
+           + _GENERIC_ZERO_BODIES[which] +
+           "\n[convolutional]\nfilters=16\nsize=1\nstride=1\npad=1\n"
+           "activation=linear\n\n"
+           "[yolo]\nmask=0,1\nnum=3\nclasses=3\nmax=8\n"
+           "anchors=10,14, 23,27, 37,58\n")
+    _compare(cfg, tmp_path, harness, rng, 32, atol_act=1e-6, thresh=0.2)
+
+
 def test_receptive_field_golden(harness, tmp_path, rng):
     """`show_receptive_field=1` per-layer receptive fields match the
     reference's own printout exactly (parser.cpp:1260-1315) — including
