@@ -274,8 +274,11 @@ def _parse_net_options(s: Section, train: bool) -> NetConfig:
     net.show_receptive_field = bool(
         s.get_float("show_receptive_field", 0.0))
     # accepted no-op: CUDA delta-buffer sharing (parser.cpp:1411-1453) —
-    # XLA's buffer assignment subsumes the reference's optimized_memory
+    # XLA's buffer assignment subsumes the reference's optimized_memory /
+    # cuDNN workspace cap (parser.cpp:1031-1035) — read both quietly so
+    # cfgs carrying them don't trip UnusedOption warnings
     s.get_int("optimized_memory", 0)
+    s.get_float("workspace_size_limit_MB", 1024.0)
     return net
 
 
