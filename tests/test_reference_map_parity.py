@@ -93,14 +93,20 @@ def dataset(tmp_path_factory):
     return root, paths, str(data)
 
 
-def test_map_parity_vs_reference(harness, dataset, tmp_path):
+@pytest.mark.parametrize("nms_cfg", ["nms_kind=greedynms",
+                                     "nms_kind=diounms\nbeta_nms=0.6"])
+def test_map_parity_vs_reference(harness, dataset, tmp_path, nms_cfg):
+    """Parametrized over the head's nms_kind: the binary's valid mode
+    applies the layer's own kind/beta (detector.cpp:379 NmsSort with
+    l->nms_kind, l->beta_nms), so the diounms case gates our DIoU
+    suppression (box.cpp diounms_sort semantics) end to end."""
     from darknet_tpu.eval.map import validate_detector
     from darknet_tpu.nn.network import Network
 
     root, paths, data_file = dataset
     cfg_path = str(tmp_path / "m.cfg")
     with open(cfg_path, "w") as f:
-        f.write(CFG)
+        f.write(CFG.replace("nms_kind=greedynms", nms_cfg))
     weights = str(tmp_path / "m.weights")
     Network.from_cfg(cfg_path, train=True, fuse=False,
                      seed=31).save_weights(weights)
