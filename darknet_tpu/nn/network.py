@@ -201,7 +201,8 @@ class Network:
 
     # ------------------------------------------------------------- forward
     def _device_detect_fn(self, batch: int, h: int, w: int, thresh: float,
-                          nms: float, top_k: int, score_dtype=None):
+                          nms: float, top_k: int, score_dtype=None,
+                          mesh=None):
         """Fully on-device postprocess: decode -> obj threshold -> top-k ->
         masked NMS.  Only (top_k) detections per image leave HBM — the
         design goal of BASELINE.json's north star.
@@ -209,8 +210,18 @@ class Network:
         score_dtype (e.g. bf16) selects the serving score precision for
         decode outputs (ops/yolo.yolo_decode); default f32 keeps
         bit-parity with the host path.  bench.py measures this exact
-        function."""
-        key = ("dev", batch, h, w, thresh, nms, top_k, score_dtype)
+        function.
+
+        mesh: a `jax.sharding.Mesh` scales SERVING across chips — the
+        batch axis shards over its "dp" axis (and feature-map H over an
+        optional "sp" axis, halo exchanges inserted by GSPMD exactly as
+        in parallel/spatial.py); params replicate, outputs stay
+        batch-sharded so each chip's top-k detections transfer from its
+        own HBM.  The reference has no multi-GPU inference at all
+        (ValidateDetector/ProcImage are single-device,
+        detector.cpp:326/yolo_core.cpp:104) — this is the TPU-native
+        serving scale-out."""
+        key = ("dev", batch, h, w, thresh, nms, top_k, score_dtype, mesh)
         if key not in self._fwd_cache:
             fwd = make_forward(self.graph, train=False,
                                compute_dtype=self.compute_dtype,
@@ -259,7 +270,27 @@ class Network:
                     )(tb, probs)
                 return tb, ov, probs
 
-            self._fwd_cache[key] = jax.jit(run)
+            if mesh is None:
+                self._fwd_cache[key] = jax.jit(run)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axes = mesh.axis_names
+                if "dp" not in axes:
+                    raise ValueError(
+                        f"serving mesh needs a 'dp' axis, got {axes}")
+                n_dp = mesh.shape["dp"]
+                if batch % n_dp:
+                    raise ValueError(
+                        f"batch {batch} not divisible by the mesh's dp "
+                        f"size {n_dp}")
+                sp = "sp" if "sp" in axes else None
+                rep = NamedSharding(mesh, P())
+                x_sh = NamedSharding(mesh, P("dp", sp, None, None))
+                out_sh = NamedSharding(mesh, P("dp"))
+                self._fwd_cache[key] = jax.jit(
+                    run, in_shardings=(rep, x_sh),
+                    out_shardings=(out_sh, out_sh, out_sh))
         return self._fwd_cache[key]
 
     def export_serving(self, path, *, batch: int = 1, thresh: float = 0.25,
@@ -296,12 +327,15 @@ class Network:
         return exp.call(jnp.asarray(x, dtype=jnp.float32))
 
     def detect_batch_device(self, images, thresh: float = 0.25,
-                            nms: float = 0.45, top_k: int = 256) -> list:
+                            nms: float = 0.45, top_k: int = 256,
+                            mesh=None) -> list:
         """Production path: device-side postprocess, host only receives the
-        final top_k candidates per image."""
+        final top_k candidates per image.  With `mesh`, the batch shards
+        over the mesh's "dp" axis (multi-chip serving; see
+        _device_detect_fn)."""
         x = self._prep_input(images)
         fn = self._device_detect_fn(x.shape[0], x.shape[1], x.shape[2],
-                                    thresh, nms, top_k)
+                                    thresh, nms, top_k, mesh=mesh)
         tb, ov, probs = fn(self.params, x)
         return self.device_out_to_dets(tb, ov, probs)
 

@@ -67,3 +67,71 @@ def test_export_serving_artifact_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(tb), np.asarray(live[0]))
     np.testing.assert_array_equal(np.asarray(ov), np.asarray(live[1]))
     np.testing.assert_array_equal(np.asarray(probs), np.asarray(live[2]))
+
+
+def test_device_path_sharded_serving_dp(rng):
+    """Multi-chip serving: detect_batch_device over an 8-device dp mesh
+    equals the single-device program (batch sharding splits no math —
+    inference has no cross-batch reductions)."""
+    import jax
+
+    from darknet_tpu import model_zoo
+    from darknet_tpu.parallel import make_mesh
+
+    cfg = model_zoo.yolov4_tiny_cfg(160, 160)
+    net = Network.from_cfg(cfg, seed=6)
+    x = rng.uniform(0, 1, (8, 160, 160, 3)).astype(np.float32)
+
+    ref = net._device_detect_fn(8, 160, 160, 0.2, 0.45, 64)(net.params, x)
+    mesh = make_mesh(8)
+    fn = net._device_detect_fn(8, 160, 160, 0.2, 0.45, 64, mesh=mesh)
+    tb, ov, probs = fn(net.params, x)
+
+    assert {d.sharding.spec for d in (tb, ov, probs)} == {
+        jax.sharding.PartitionSpec("dp")}
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ref[1]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[2]),
+                               rtol=2e-5, atol=2e-6)
+
+    # and through the public list API
+    dets_m = net.detect_batch_device(x, thresh=0.2, nms=0.45, top_k=64,
+                                     mesh=mesh)
+    dets_1 = net.detect_batch_device(x, thresh=0.2, nms=0.45, top_k=64)
+    assert [len(d) for d in dets_m] == [len(d) for d in dets_1]
+
+
+def test_device_path_sharded_serving_dp_sp(rng):
+    """Serving over a 2x4 (dp, sp) mesh: batch AND feature-map height
+    shard; GSPMD inserts the conv halo exchanges (parallel/spatial.py
+    semantics) inside the full serving program incl. device NMS."""
+    from darknet_tpu import model_zoo
+    from darknet_tpu.parallel.spatial import make_spatial_mesh
+
+    cfg = model_zoo.yolov4_tiny_cfg(160, 160)
+    net = Network.from_cfg(cfg, seed=6)
+    x = rng.uniform(0, 1, (4, 160, 160, 3)).astype(np.float32)
+
+    ref = net._device_detect_fn(4, 160, 160, 0.2, 0.45, 64)(net.params, x)
+    mesh = make_spatial_mesh(2, 4)
+    tb, ov, probs = net._device_detect_fn(
+        4, 160, 160, 0.2, 0.45, 64, mesh=mesh)(net.params, x)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ref[1]),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[2]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_serving_rejects_bad_mesh(rng):
+    from darknet_tpu import model_zoo
+    from darknet_tpu.parallel import make_mesh
+
+    cfg = model_zoo.yolov4_tiny_cfg(160, 160)
+    net = Network.from_cfg(cfg, seed=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        net._device_detect_fn(3, 160, 160, 0.2, 0.45, 64,
+                              mesh=make_mesh(8))
