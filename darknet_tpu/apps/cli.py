@@ -373,12 +373,21 @@ def mode_valid(args):
                 # convs below the min_ch filter) — nothing to cache
                 print("int8 calibration: no quantized convs, "
                       f"not writing {args.calib_file}", file=sys.stderr)
+    mesh = None
+    batch = 8 if len(paths) >= 8 else 1
+    if args.num_chips > 1:
+        # multi-chip valid: batch-sharded forward, host decode/NMS/PR
+        # unchanged (the reference's ValidateDetector is single-GPU)
+        from darknet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_chips)
+        batch = max(batch, args.num_chips)
+        batch -= batch % args.num_chips
     # the reference's valid mode resizes with its own two-pass bilinear
     # (load_image + resize_image, data.cpp:695-698) — use the exact port
     # so CLI mAP numbers are comparable with the reference binary's
     res = validate_detector(net, paths, md.classes, iou_thresh=0.5,
-                            batch=8 if len(paths) >= 8 else 1,
-                            resize="darknet")
+                            batch=batch, resize="darknet", mesh=mesh)
     print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")
     print(f" Recall: {res.recall:.4g}%\n Precision: {res.precision:.4g}%")
     for cid, ap in enumerate(res.per_class_ap):

@@ -62,7 +62,8 @@ def _load_resized(path, w, h, resize: str = "cv"):
 def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                       thresh: float = 0.005, nms: float = 0.45,
                       batch: int = 1, progress: bool = True,
-                      threads: int = 6, resize: str = "cv") -> MapResult:
+                      threads: int = 6, resize: str = "cv",
+                      mesh=None) -> MapResult:
     """Run the full mAP pipeline with a `Network` (or anything exposing
     `detect_batch`).
 
@@ -70,6 +71,12 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
     load with predict via load_data_in_thread, detector.cpp:358-371): the
     next chunk decodes while the current one runs on the device, so valid
     mode is device-bound, not I/O-bound.
+
+    mesh: shard each forward batch over the mesh's "dp" axis (multi-chip
+    valid mode; batch must divide by the dp size).  Decode + NMS + the
+    PR accumulation stay on host, bit-identical to the single-chip path
+    — the reference's ValidateDetector is single-GPU only
+    (detector.cpp:326-561).
     """
     import concurrent.futures as cf
 
@@ -99,7 +106,11 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                                             x.dtype)])
 
         t0 = time.perf_counter()
-        dets_batch = net.detect_batch(x, thresh=thresh, nms=nms)
+        if mesh is not None:
+            dets_batch = net.detect_batch(x, thresh=thresh, nms=nms,
+                                          mesh=mesh)
+        else:
+            dets_batch = net.detect_batch(x, thresh=thresh, nms=nms)
         pred_time += time.perf_counter() - t0
         dets_batch = dets_batch[: len(chunk)]
 

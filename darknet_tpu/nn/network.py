@@ -275,18 +275,7 @@ class Network:
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                axes = mesh.axis_names
-                if "dp" not in axes:
-                    raise ValueError(
-                        f"serving mesh needs a 'dp' axis, got {axes}")
-                n_dp = mesh.shape["dp"]
-                if batch % n_dp:
-                    raise ValueError(
-                        f"batch {batch} not divisible by the mesh's dp "
-                        f"size {n_dp}")
-                sp = "sp" if "sp" in axes else None
-                rep = NamedSharding(mesh, P())
-                x_sh = NamedSharding(mesh, P("dp", sp, None, None))
+                x_sh, rep = self._serve_shardings(mesh, batch)
                 out_sh = NamedSharding(mesh, P("dp"))
                 self._fwd_cache[key] = jax.jit(
                     run, in_shardings=(rep, x_sh),
@@ -362,8 +351,8 @@ class Network:
             results.append(dets)
         return results
 
-    def _forward_fn(self, batch: int, h: int, w: int):
-        key = (batch, h, w, self.train)
+    def _forward_fn(self, batch: int, h: int, w: int, mesh=None):
+        key = (batch, h, w, self.train, mesh)
         if key not in self._fwd_cache:
             fwd = make_forward(
                 self.graph, train=self.train,
@@ -397,8 +386,34 @@ class Network:
                     return r["heads"], r["output"], (boxes, obj, cls, uc)
                 return r["heads"], r["output"], None
 
-            self._fwd_cache[key] = jax.jit(fwd_and_decode)
+            if mesh is None:
+                self._fwd_cache[key] = jax.jit(fwd_and_decode)
+            else:
+                # batch-sharded forward for the host-NMS parity path —
+                # decoded candidates replicate back (they are small);
+                # same mesh contract as _device_detect_fn
+                x_sh, rep = self._serve_shardings(mesh, batch)
+                self._fwd_cache[key] = jax.jit(
+                    fwd_and_decode, in_shardings=(rep, x_sh),
+                    out_shardings=rep)
         return self._fwd_cache[key]
+
+    @staticmethod
+    def _serve_shardings(mesh, batch: int):
+        """(input, replicated) NamedShardings for inference over `mesh`:
+        batch shards on "dp", feature-map H on an optional "sp" axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = mesh.axis_names
+        if "dp" not in axes:
+            raise ValueError(f"serving mesh needs a 'dp' axis, got {axes}")
+        n_dp = mesh.shape["dp"]
+        if batch % n_dp:
+            raise ValueError(f"batch {batch} not divisible by the mesh's "
+                             f"dp size {n_dp}")
+        sp = "sp" if "sp" in axes else None
+        return (NamedSharding(mesh, P("dp", sp, None, None)),
+                NamedSharding(mesh, P()))
 
     def _prep_input(self, image) -> np.ndarray:
         x = np.asarray(image, dtype=np.float32)
@@ -436,9 +451,9 @@ class Network:
                                  use_device_nms=use_device_nms)[0]
 
     def detect_batch(self, images, thresh: float = 0.25, nms: float = 0.45,
-                     use_device_nms: bool = False) -> list:
+                     use_device_nms: bool = False, mesh=None) -> list:
         x = self._prep_input(images)
-        fn = self._forward_fn(*x.shape[:3])
+        fn = self._forward_fn(*x.shape[:3], mesh=mesh)
         _heads, _out, dec = fn(self.params, x)
         if dec is None:
             return [[] for _ in range(x.shape[0])]

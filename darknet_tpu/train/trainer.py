@@ -398,10 +398,18 @@ class DetectorTrainer:
             net.params = paramlib.fuse_conv_batchnorm(net.graph, params)
         # the reference's in-training mAP loads with its own bilinear
         # (detector.cpp:218-253 -> load_image + resize_image)
+        batch = 4 if len(self.val_paths) >= 4 else 1
+        mesh = None
+        if self.mesh is not None and "dp" in self.mesh.axis_names:
+            # ride the training mesh: batch-sharded forward, host PR math
+            n_dp = self.mesh.shape["dp"]
+            if len(self.val_paths) >= n_dp:
+                mesh = self.mesh
+                batch = max(batch, n_dp)
+                batch -= batch % n_dp
         res = validate_detector(net, self.val_paths, self.classes,
                                 iou_thresh=iou_thresh, progress=False,
-                                batch=4 if len(self.val_paths) >= 4 else 1,
-                                resize="darknet")
+                                batch=batch, resize="darknet", mesh=mesh)
         return res.map
 
     def save_state(self, path: str | None = None) -> str:

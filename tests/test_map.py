@@ -182,3 +182,43 @@ anchors=8,8, 12,12, 16,16
           "-int8", "-int8_calib", "2"])
     out = capsys.readouterr().out
     assert "mAP@0.5" in out
+    # multi-chip valid: -num_chips shards the forward batch over a dp
+    # mesh; report and mAP math unchanged
+    main(["-mode", "valid", "-data_file", str(data),
+          "-model_file", str(cfg), "-weights_file", "/nonexistent",
+          "-num_chips", "4"])
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out
+
+
+def test_validate_detector_mesh_matches_single(dataset):
+    """Multi-chip valid mode: the batch-sharded forward (mesh=) produces
+    the same mAP as the single-device path — decode/NMS/PR all on host,
+    only the conv forward shards."""
+    from darknet_tpu import model_zoo
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.parallel import make_mesh
+
+    cfg = model_zoo.yolov3_tiny_cfg(64, 64, classes=2)
+    net = Network.from_cfg(cfg, seed=11)
+    r1 = validate_detector(net, dataset, classes=2, batch=4, thresh=0.1,
+                           progress=False, threads=2)
+    rm = validate_detector(net, dataset, classes=2, batch=4, thresh=0.1,
+                           progress=False, threads=2, mesh=make_mesh(4))
+    assert rm.n_gt == r1.n_gt
+    assert rm.n_pred == r1.n_pred and r1.n_pred > 0
+    np.testing.assert_allclose(rm.per_class_ap, r1.per_class_ap,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(rm.map, r1.map, rtol=1e-5, atol=1e-7)
+
+    # and the raw detection stream agrees (mAP alone is 0 with random
+    # weights, which would pass vacuously)
+    from darknet_tpu.data.image import load_image_rgb, resize_image_cv
+    x = np.stack([resize_image_cv(load_image_rgb(pth), 64, 64)
+                  for pth in dataset[:4]])
+    d1 = net.detect_batch(x, thresh=0.1, nms=0.45)
+    dm = net.detect_batch(x, thresh=0.1, nms=0.45, mesh=make_mesh(4))
+    assert [len(a) for a in d1] == [len(a) for a in dm]
+    for a, b in zip(d1[0], dm[0]):
+        np.testing.assert_allclose(a.prob, b.prob, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(a.bbox, b.bbox, rtol=1e-5, atol=1e-7)
