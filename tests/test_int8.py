@@ -333,3 +333,32 @@ def test_calibration_cache_roundtrip(tmp_path, setup):
     assert len(da) == len(db)
     for a, b in zip(da, db):
         np.testing.assert_array_equal(a.bbox, b.bbox)
+
+
+def test_int8_serving_composes_with_mesh(tmp_path):
+    """int8 (static-calibrated) production serving over a dp mesh equals
+    the single-device int8 program — the bench headline config is
+    mesh-shardable as-is."""
+    import jax  # noqa: F401
+
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.parallel import make_mesh
+
+    cfg_path = str(tmp_path / "q.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG)
+    rng = np.random.default_rng(5)
+    net = Network.from_cfg(cfg_path, seed=4, int8=True)
+    net.calibrate_int8([rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+                        for _ in range(2)])
+    x = rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32)
+
+    ref = net._device_detect_fn(8, 32, 32, 0.01, 0.45, 16)(net.params, x)
+    tb, ov, probs = net._device_detect_fn(
+        8, 32, 32, 0.01, 0.45, 16, mesh=make_mesh(8))(net.params, x)
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ref[1]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[2]),
+                               rtol=2e-5, atol=2e-6)
