@@ -183,6 +183,22 @@ def _proc_frame(net, md, frame_bgr, args, track_manager=None):
     return _host_tail(net, md, frame_bgr, dets, args, track_manager)
 
 
+def _serving_mesh(args, batch: int):
+    """dp mesh for the streaming serving program when -num_chips > 1 and
+    the camera batch divides evenly; None otherwise (single-chip).  The
+    reference's multi-video loop is single-GPU (yolo_core.cpp:276-392)."""
+    n = getattr(args, "num_chips", 1)
+    if n <= 1 or batch % n:
+        return None
+    mesh = getattr(args, "_serve_mesh", None)
+    if mesh is None:
+        from darknet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n)
+        args._serve_mesh = mesh
+    return mesh
+
+
 def _submit_frame(net, frame_bgr, args):
     """Streaming half 1: launch the device serving program for one frame
     WITHOUT blocking (JAX async dispatch) — the next frame's preprocess
@@ -265,7 +281,8 @@ def _submit_frames_batch(net, frames_bgr, args):
     if _use_device_nms(args):
         fn = net._device_detect_fn(x.shape[0], net.net.h, net.net.w,
                                    args.thresh, args.nms_thresh,
-                                   getattr(args, "top_k", 256))
+                                   getattr(args, "top_k", 256),
+                                   mesh=_serving_mesh(args, x.shape[0]))
         # device arrays (the on-device letterbox output) feed the detect
         # program directly; _prep_input would np.asarray — a blocking
         # D2H + re-upload that defeats the async submit

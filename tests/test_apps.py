@@ -391,3 +391,40 @@ def test_cli_video_pipelined_device_path(tmp_path, fixtures_dir):
         for a, b in zip(dets_a, dets_b):
             np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-6)
         np.testing.assert_array_equal(disp_a, disp_b)
+
+
+def test_multi_camera_batch_shards_over_serving_mesh():
+    """-num_chips in the streaming path: _submit_frames_batch shards the
+    camera batch over a dp mesh when it divides evenly (else falls back
+    to single-chip), detections identical either way."""
+    import argparse
+
+    from darknet_tpu import model_zoo
+    from darknet_tpu.apps.cli import (_finalize_frames_batch,
+                                      _serving_mesh, _submit_frames_batch)
+    from darknet_tpu.config.metadata import Metadata
+    from darknet_tpu.nn.network import Network
+
+    net = Network.from_cfg(model_zoo.yolov4_tiny_cfg(96, 96), seed=2)
+    md = Metadata(classes=80, names=[f"c{i}" for i in range(80)])
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+              for _ in range(4)]
+
+    def run(num_chips):
+        args = argparse.Namespace(
+            thresh=0.05, nms_thresh=0.45, device_nms="on", top_k=32,
+            letter_box=False, num_chips=num_chips, disable_tracking=True,
+            save_output=False)
+        sub = _submit_frames_batch(net, frames, args)
+        outs = _finalize_frames_batch(net, md, frames, sub, args)
+        return [d for _f, dets in outs for d in dets], args
+
+    d1, _ = run(1)
+    dm, args_m = run(2)
+    assert _serving_mesh(args_m, 4) is not None        # 4 % 2 == 0
+    assert _serving_mesh(args_m, 3) is None            # ragged -> fallback
+    assert len(d1) == len(dm)
+    for a, b in zip(d1, dm):
+        np.testing.assert_allclose(a.prob, b.prob, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(a.bbox, b.bbox, rtol=1e-5, atol=1e-6)
