@@ -107,7 +107,7 @@ def nms_numpy(boxes: np.ndarray, probs: np.ndarray, thresh: float,
 # --------------------------------------------------------------------------
 
 def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
-               beta: float = 0.6):
+               beta: float = 0.6, impl: str = "fused"):
     """Masked greedy NMS on device: boxes (N,4), probs (N,C) -> (N,C).
 
     Matches NmsSort up to tie-ordering: per class, detections are visited in
@@ -115,11 +115,27 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
     detection with similarity > thresh.  Runs as C independent passes over a
     shared (N,N) similarity matrix (vmapped); N is static.
 
-    Memory: the dense rank predicate P is (C,N,N) bool, so a batched
-    (vmapped) call holds O(B*C*N^2) live across the while_loop — ~170 MB at
-    B=32, C=80, N=256 (the serving default).  Fine at N<=256; if top_k is
-    ever raised >=1k, re-derive P inside the loop body from the (N,N)
-    suppress matrix + per-class rank compares instead of materializing it.
+    greedy kept[i] = active[i] & no surviving higher-ranked j with
+    sim>thresh.  Two TPU adaptations of the serial greedy loop:
+
+    1. No argsort/gather: rank_j < rank_i (stable descending sort) is
+       exactly (p_j > p_i) | (p_j == p_i & j < i), broadcast against the
+       SHARED similarity matrix — the per-class [order][:, order] gather
+       was the dominant cost.
+    2. No serial rank loop (N scatter steps execute pathologically on
+       this backend): dependencies run strictly down ranks (a DAG), so
+       the exact kept-set is squeezed between monotone bounds
+       Lo' = f(Hi), Hi' = f(Lo) with f(K)[i] = active[i] & !∃j: K[j] &
+       P[i,j].  Ranks with suppression-chain depth <= t are decided
+       after t iterations; the loop converges in the chain depth
+       (typically < 5, bounded by N).
+
+    impl="fused" (default) derives the rank predicate INSIDE the loop
+    body so only the (N,N) suppress matrix persists — the broadcast-and
+    feeds straight into the any-reduce and fuses; a batched call holds
+    O(B*N^2), not the O(B*C*N^2) of impl="dense" (~1.3 GB at the b256
+    serving bench).  "dense" materializes (C,N,N) once outside the loop
+    (kept for A/B).
     """
     n = boxes.shape[0]
     if kind == "greedynms":
@@ -128,26 +144,26 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
         sim = boxops.diou(boxes[:, None, :], boxes[None, :, :], beta)
     suppress = sim > thresh
 
-    # greedy kept[i] = active[i] & no surviving higher-ranked j with
-    # sim>thresh.  Two TPU adaptations of the serial greedy loop:
-    #
-    # 1. No argsort/gather: rank_j < rank_i (stable descending sort) is
-    #    exactly (p_j > p_i) | (p_j == p_i & j < i), built as dense
-    #    (C,N,N) broadcasts against the SHARED similarity matrix — the
-    #    per-class [order][:, order] gather was the dominant cost.
-    # 2. No serial rank loop (N scatter steps execute pathologically on
-    #    this backend): dependencies run strictly down ranks (a DAG), so
-    #    the exact kept-set is squeezed between monotone bounds
-    #    Lo' = f(Hi), Hi' = f(Lo) with f(K)[i] = active[i] & !∃j: K[j] &
-    #    P[i,j].  Ranks with suppression-chain depth <= t are decided
-    #    after t iterations; the loop converges in the chain depth
-    #    (typically < 5, bounded by N).
     pT = probs.T                                     # (C, N)
     lt = jnp.tril(jnp.ones((n, n), dtype=bool), -1)  # [i, j]: j < i
-    gt = pT[:, None, :] > pT[:, :, None]             # [c,i,j]: p_j > p_i
-    eq = (pT[:, None, :] == pT[:, :, None]) & lt[None]
-    P = (gt | eq) & suppress[None]                   # suppressor j over i
     active = pT > 0.0
+
+    if impl == "dense":
+        gt = pT[:, None, :] > pT[:, :, None]         # [c,i,j]: p_j > p_i
+        eq = (pT[:, None, :] == pT[:, :, None]) & lt[None]
+        P = (gt | eq) & suppress[None]               # suppressor j over i
+
+        def step(K):
+            return active & ~jnp.any(P & K[:, None, :], axis=-1)
+    else:
+        def step(K):
+            # [c,i,j]: surviving j, higher-ranked than i, suppressing i —
+            # derived in-body from (C,N) + (N,N) operands so the (C,N,N)
+            # broadcast fuses into the reduce instead of persisting
+            gt = pT[:, None, :] > pT[:, :, None]
+            eq = (pT[:, None, :] == pT[:, :, None]) & lt[None]
+            hit = (gt | eq) & suppress[None] & K[:, None, :]
+            return active & ~jnp.any(hit, axis=-1)
 
     def cond(st):
         lo, hi = st
@@ -155,9 +171,7 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
 
     def body(st):
         lo, hi = st
-        lo2 = active & ~jnp.any(P & hi[:, None, :], axis=-1)
-        hi2 = active & ~jnp.any(P & lo[:, None, :], axis=-1)
-        return lo | lo2, hi & hi2
+        return lo | step(hi), hi & step(lo)
 
     kept, _ = lax.while_loop(
         cond, body, (jnp.zeros_like(active), active))

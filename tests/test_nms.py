@@ -106,3 +106,26 @@ def test_device_nms_reverse_rank_chain():
     got = np.asarray(nmslib.nms_device(jnp.asarray(boxes[perm]),
                                        jnp.asarray(probs[perm]), 0.45))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_device_nms_impls_agree():
+    """fused (in-body predicate) and dense (materialized (C,N,N)) device
+    NMS are the same math — exact agreement on random multi-class
+    inputs with ties."""
+    rng3 = np.random.default_rng(21)
+    n, c = 64, 7
+    boxes = np.stack([rng3.uniform(0.1, 0.9, n), rng3.uniform(0.1, 0.9, n),
+                      rng3.uniform(0.05, 0.3, n),
+                      rng3.uniform(0.05, 0.3, n)], axis=1).astype(np.float32)
+    probs = np.round(rng3.uniform(0, 1, (n, c)), 1).astype(np.float32)  # ties
+    probs[rng3.uniform(size=(n, c)) < 0.3] = 0.0
+    for kind in ("greedynms", "diounms"):
+        a = np.asarray(nmslib.nms_device(jnp.asarray(boxes),
+                                         jnp.asarray(probs), 0.45,
+                                         kind=kind, impl="fused"))
+        b = np.asarray(nmslib.nms_device(jnp.asarray(boxes),
+                                         jnp.asarray(probs), 0.45,
+                                         kind=kind, impl="dense"))
+        np.testing.assert_array_equal(a, b)
+        want = nmslib.nms_numpy(boxes, probs.copy(), 0.45, kind=kind)
+        np.testing.assert_allclose(a, want, rtol=1e-6, atol=1e-8)
