@@ -289,7 +289,9 @@ def _submit_frames_batch(net, frames_bgr, args):
         xin = net._prep_input(x) if isinstance(x, np.ndarray) else x
         return ("dev", fn(net.params, xin))
     return ("host", net.detect_batch(np.asarray(x), thresh=args.thresh,
-                                     nms=args.nms_thresh))
+                                     nms=args.nms_thresh,
+                                     mesh=_serving_mesh(args,
+                                                        len(frames_bgr))))
 
 
 def _finalize_frames_batch(net, md, frames_bgr, sub, args,
@@ -396,10 +398,10 @@ def mode_valid(args):
         # multi-chip valid: batch-sharded forward, host decode/NMS/PR
         # unchanged (the reference's ValidateDetector is single-GPU)
         from darknet_tpu.parallel import make_mesh
+        from darknet_tpu.parallel.mesh import round_batch_to_mesh
 
         mesh = make_mesh(args.num_chips)
-        batch = max(batch, args.num_chips)
-        batch -= batch % args.num_chips
+        batch = round_batch_to_mesh(batch, args.num_chips)
     # the reference's valid mode resizes with its own two-pass bilinear
     # (load_image + resize_image, data.cpp:695-698) — use the exact port
     # so CLI mAP numbers are comparable with the reference binary's

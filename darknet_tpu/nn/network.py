@@ -390,12 +390,16 @@ class Network:
                 self._fwd_cache[key] = jax.jit(fwd_and_decode)
             else:
                 # batch-sharded forward for the host-NMS parity path —
-                # decoded candidates replicate back (they are small);
-                # same mesh contract as _device_detect_fn
-                x_sh, rep = self._serve_shardings(mesh, batch)
+                # every output (heads, final layer, decoded candidates)
+                # keeps its leading batch dim sharded; replicating here
+                # would all-gather the full head tensors per batch for
+                # nothing (the host assembles sharded arrays fine)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                x_sh, _rep = self._serve_shardings(mesh, batch)
                 self._fwd_cache[key] = jax.jit(
-                    fwd_and_decode, in_shardings=(rep, x_sh),
-                    out_shardings=rep)
+                    fwd_and_decode, in_shardings=(_rep, x_sh),
+                    out_shardings=NamedSharding(mesh, P("dp")))
         return self._fwd_cache[key]
 
     @staticmethod
@@ -452,6 +456,11 @@ class Network:
 
     def detect_batch(self, images, thresh: float = 0.25, nms: float = 0.45,
                      use_device_nms: bool = False, mesh=None) -> list:
+        if use_device_nms:
+            # full on-device postprocess (decode + top-k + NMS); top_k
+            # bounds the per-image candidates unlike the host path
+            return self.detect_batch_device(images, thresh=thresh, nms=nms,
+                                            mesh=mesh)
         x = self._prep_input(images)
         fn = self._forward_fn(*x.shape[:3], mesh=mesh)
         _heads, _out, dec = fn(self.params, x)

@@ -137,6 +137,9 @@ def nms_device(boxes, probs, thresh: float, kind: str = "greedynms",
     serving bench).  "dense" materializes (C,N,N) once outside the loop
     (kept for A/B).
     """
+    if impl not in ("fused", "dense"):
+        raise ValueError(f"nms_device impl must be 'fused' or 'dense', "
+                         f"got {impl!r}")
     n = boxes.shape[0]
     if kind == "greedynms":
         sim = boxops.iou(boxes[:, None, :], boxes[None, :, :])

@@ -34,3 +34,12 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh."""
     s = NamedSharding(mesh, P())
     return jax.device_put(tree, s)
+
+
+def round_batch_to_mesh(batch: int, n_dp: int) -> int:
+    """Smallest adjustment of an inference batch so it divides over a
+    dp-sharded serving mesh (Network._serve_shardings requires batch %
+    n_dp == 0): at least n_dp, rounded down to a multiple.  Shared by
+    mode_valid's -num_chips path and the trainer's in-training mAP."""
+    batch = max(batch, n_dp)
+    return batch - batch % n_dp

@@ -402,11 +402,12 @@ class DetectorTrainer:
         mesh = None
         if self.mesh is not None and "dp" in self.mesh.axis_names:
             # ride the training mesh: batch-sharded forward, host PR math
+            from darknet_tpu.parallel.mesh import round_batch_to_mesh
+
             n_dp = self.mesh.shape["dp"]
             if len(self.val_paths) >= n_dp:
                 mesh = self.mesh
-                batch = max(batch, n_dp)
-                batch -= batch % n_dp
+                batch = round_batch_to_mesh(batch, n_dp)
         res = validate_detector(net, self.val_paths, self.classes,
                                 iou_thresh=iou_thresh, progress=False,
                                 batch=batch, resize="darknet", mesh=mesh)

@@ -135,3 +135,17 @@ def test_sharded_serving_rejects_bad_mesh(rng):
     with pytest.raises(ValueError, match="not divisible"):
         net._device_detect_fn(3, 160, 160, 0.2, 0.45, 64,
                               mesh=make_mesh(8))
+
+
+def test_detect_batch_use_device_nms_delegates(rng):
+    """use_device_nms=True routes detect_batch to the device-postprocess
+    program (previously a silently-dead parameter)."""
+    from darknet_tpu import model_zoo
+
+    net = Network.from_cfg(model_zoo.yolov4_tiny_cfg(96, 96), seed=2)
+    x = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    a = net.detect_batch(x, thresh=0.1, nms=0.45, use_device_nms=True)
+    b = net.detect_batch_device(x, thresh=0.1, nms=0.45)
+    assert [len(v) for v in a] == [len(v) for v in b]
+    for p, q in zip(a[0], b[0]):
+        np.testing.assert_array_equal(np.asarray(p.prob), np.asarray(q.prob))
