@@ -1,13 +1,23 @@
-"""Structured synthetic detection dataset for end-to-end train-A/B gates.
+"""Structured synthetic detection dataset (images + darknet labels).
 
 Generates images that are actually LEARNABLE by a small detector —
 solid geometric shapes whose class is determined by (color, shape) —
 plus darknet `.txt` labels, a train/val split, and `.data`/`.names`
-files, all deterministically from a seed.  Neither the reference nor
-darknet_tpu sees hand-picked values: every image is drawn at test
-runtime from the seed, so a gate over this data exercises
-augmentation -> loss -> optimizer -> mAP end-to-end on unseen inputs
-(VERDICT round-2 action #1).
+files, all deterministically from a seed.  Serves three purposes:
+
+* end-to-end train-A/B parity gates against the reference binary
+  (tests/test_reference_trainloop.py): neither side sees hand-picked
+  values, every image is drawn at runtime from the seed, so a gate
+  over this data exercises augmentation -> loss -> optimizer -> mAP
+  on unseen inputs;
+* runnable examples (examples/) that need a dataset without network
+  access;
+* training smoke/benchmark runs on boxes with no real dataset.
+
+The label format and `.data`/`.names` layout match the reference's
+loader contract exactly (`/root/reference/src/data.cpp:78-114`
+ReadBoxAnnot: `id x y w h` normalized, one `.txt` per image;
+`option_list.cpp:13-99` Metadata).
 
 Classes:
   0: red rectangle    1: green rectangle
@@ -15,6 +25,8 @@ Classes:
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -25,10 +37,12 @@ COLORS = {
     3: (230, 220, 50),
 }
 N_CLASSES = 4
+NAMES = ["red_rect", "green_rect", "blue_circle", "yellow_circle"]
 
 
-def _draw_sample(rng: np.random.Generator, w: int, h: int):
-    """One image (HWC uint8 BGR-agnostic: we write RGB PNGs) + its boxes."""
+def draw_sample(rng: np.random.Generator, w: int, h: int):
+    """One RGB uint8 image (H, W, 3) + its [(cls, x, y, w, h)] boxes
+    (normalized center format, the darknet label convention)."""
     img = rng.integers(90, 130, (h, w, 3)).astype(np.uint8)  # gray noise bg
     boxes = []
     for _ in range(int(rng.integers(1, 4))):
@@ -57,9 +71,8 @@ def _draw_sample(rng: np.random.Generator, w: int, h: int):
 
 def generate(root, n_train: int = 480, n_val: int = 80, seed: int = 1234,
              size_range=((96, 144), (96, 144))):
-    """Write the dataset under `root`; returns a dict of file paths."""
-    import os
-
+    """Write the dataset under `root`; returns a dict of file paths
+    (train_paths/val_paths/train_list/val_list/data/names)."""
     import cv2
 
     os.makedirs(root, exist_ok=True)
@@ -71,7 +84,7 @@ def generate(root, n_train: int = 480, n_val: int = 80, seed: int = 1234,
         for i in range(n):
             w = int(rng.integers(w_lo, w_hi + 1))
             h = int(rng.integers(h_lo, h_hi + 1))
-            img, boxes = _draw_sample(rng, w, h)
+            img, boxes = draw_sample(rng, w, h)
             p = os.path.join(root, f"{prefix}{i:04d}.png")
             cv2.imwrite(p, img[..., ::-1])  # cv2 writes BGR; store as RGB
             with open(os.path.join(root, f"{prefix}{i:04d}.txt"), "w") as f:
@@ -88,7 +101,7 @@ def generate(root, n_train: int = 480, n_val: int = 80, seed: int = 1234,
 
     names = os.path.join(root, "obj.names")
     with open(names, "w") as f:
-        f.write("red_rect\ngreen_rect\nblue_circle\nyellow_circle\n")
+        f.write("\n".join(NAMES) + "\n")
     data = os.path.join(root, "obj.data")
     with open(data, "w") as f:
         f.write(f"classes = {N_CLASSES}\ntrain = {train_list}\n"

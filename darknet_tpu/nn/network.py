@@ -322,11 +322,23 @@ class Network:
         final top_k candidates per image.  With `mesh`, the batch shards
         over the mesh's "dp" axis (multi-chip serving; see
         _device_detect_fn)."""
+        return self.device_out_to_dets(
+            *self.submit_detect_device(images, thresh=thresh, nms=nms,
+                                       top_k=top_k, mesh=mesh))
+
+    def submit_detect_device(self, images, thresh: float = 0.25,
+                             nms: float = 0.45, top_k: int = 256,
+                             mesh=None):
+        """Dispatch the device serving program WITHOUT materializing the
+        result: returns the (boxes, objectness, probs) device triple —
+        JAX async dispatch means the call returns as soon as the program
+        is enqueued.  Streaming callers submit frame t+1, then finalize
+        frame t with `device_out_to_dets` while t+1 runs on device (the
+        CLI video modes and examples/04 use exactly this pattern)."""
         x = self._prep_input(images)
         fn = self._device_detect_fn(x.shape[0], x.shape[1], x.shape[2],
                                     thresh, nms, top_k, mesh=mesh)
-        tb, ov, probs = fn(self.params, x)
-        return self.device_out_to_dets(tb, ov, probs)
+        return fn(self.params, x)
 
     @staticmethod
     def device_out_to_dets(tb, ov, probs) -> list:

@@ -33,7 +33,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from tests.synth_dataset import generate
+from darknet_tpu.data.synth import generate
 from tests.test_reference_parity import BUILD_DIR, REF, harness  # noqa: F401
 
 pytestmark = pytest.mark.skipif(
