@@ -1,0 +1,57 @@
+"""Same-process serving A/Bs on the real chip (session 8):
+  1. fused vs dense device-NMS predicate at the bench config (int8 b128)
+  2. confirm the official bench regime still holds (one run inline)
+Usage: python /tmp/r3_serve_meas.py [nms|bench|all]
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from darknet_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+import numpy as np
+import jax, jax.numpy as jnp
+from darknet_tpu import model_zoo
+from darknet_tpu.nn.network import Network
+
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+rng = np.random.default_rng(0)
+cfg = model_zoo.yolov4_cfg(608, 608)
+net = Network.from_cfg(cfg, seed=0, int8=True)
+calib = [rng.uniform(0, 1, (608, 608, 3)).astype(np.float32) for _ in range(4)]
+net.calibrate_int8(calib)
+x = rng.uniform(0, 1, (B, 608, 608, 3)).astype(np.float32)
+xd = jax.device_put(jnp.asarray(x))
+
+
+def timeit(fn, label, iters=3):
+    out = fn(net.params, xd); _ = float(jnp.sum(out[1]))  # compile+sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(net.params, xd)
+        _ = float(jnp.sum(out[1]))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{label}: {best*1e3:.2f} ms/b{B}  {B/best:.1f} img/s", flush=True)
+    return best
+
+
+if which in ("all", "nms"):
+    import darknet_tpu.ops.nms as nmslib
+    orig = nmslib.nms_device
+
+    def make(impl):
+        def wrapper(b, p, t, kind="greedynms", beta=0.6, **kw):
+            return orig(b, p, t, kind=kind, beta=beta, impl=impl)
+        return wrapper
+
+    # interleaved A/B within one process
+    for rep in range(2):
+        for impl in ("fused", "dense"):
+            nmslib.nms_device = make(impl)
+            net._fwd_cache.clear()
+            fn = net._device_detect_fn(B, 608, 608, 0.25, 0.45, 256,
+                                       score_dtype=jnp.bfloat16)
+            timeit(fn, f"rep{rep} {impl}")
+    nmslib.nms_device = orig

@@ -1,0 +1,60 @@
+"""Post-optimization training measurements: step time + trace at 608."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from darknet_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
+import numpy as np
+import jax, jax.numpy as jnp
+from darknet_tpu import model_zoo
+from darknet_tpu.graph.builder import build_graph
+from darknet_tpu.nn import params as paramlib
+from darknet_tpu.train.step import make_train_step, init_opt_state
+
+rng_np = np.random.default_rng(0)
+_graphs = {}
+def _g(size):
+    if size not in _graphs:
+        _graphs[size] = build_graph(model_zoo.yolov4_cfg(size, size))
+    return _graphs[size]
+
+def run(batch, remat, stem=None, iters=3, label="", act=None, size=608):
+    g = _g(size)
+    x16 = rng_np.uniform(0, 1, (batch, size, size, 3)).astype(np.float32)
+    tr16 = np.zeros((batch, 90, 5), np.float32); tr16[:, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+    params = jax.device_put(paramlib.init_params(g, seed=0))
+    opt = jax.device_put(init_opt_state(g, params))
+    x = jax.device_put(x16); tr = jax.device_put(tr16)
+    step = make_train_step(g, compute_dtype=jnp.bfloat16, remat=remat,
+                           stem_train=stem, train_act_dtype=act)
+    t0 = time.perf_counter()
+    try:
+        params, opt, c, m = step(params, opt, x, tr, jax.random.PRNGKey(0), 1e-4)
+        c = float(c)
+    except Exception as e:
+        print(f"{label}: FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
+        return
+    print(f"{label}: compile+first {time.perf_counter()-t0:.0f}s cost={c:.1f}", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt, c, m = step(params, opt, x, tr, jax.random.PRNGKey(1), 1e-4)
+        float(c)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    print(f"{label}: {best*1e3:.1f} ms/step  {batch/best:.1f} img/s", flush=True)
+
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if which in ("all", "main"):
+    run(16, True, label="b16 remat stem-on (new default)")
+if which in ("all", "nostem"):
+    run(16, True, stem=False, label="b16 remat stem-off (old path)")
+if which in ("all", "act16"):
+    run(16, True, act=jnp.bfloat16, label="b16 remat stem-on act-bf16")
+if which in ("all", "steps16"):
+    run(16, "steps", act=jnp.bfloat16, label="b16 remat-steps stem-on act-bf16")
+if which in ("all", "rall16"):
+    run(16, "all", act=jnp.bfloat16, label="b16 remat-all stem-on act-bf16")
+if which in ("all", "b8"):
+    run(8, False, label="b8 no-remat stem-on (fit check)")
+if which in ("all", "v416"):
+    run(16, False, size=416, label="416 b16 no-remat stem-on")
