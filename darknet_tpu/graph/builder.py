@@ -496,12 +496,28 @@ def _parse_gaussian_yolo(s: Section, p: dict, index: int) -> GaussianYoloIR:
     return l
 
 
+def _resolve_backref(i: int, index: int, kind: str) -> int:
+    """Resolve a relative/absolute layer reference with bounds checking.
+
+    The reference resolves `idx = params.index + idx` for negatives and
+    indexes the layer array unchecked (parser.cpp:745-748, 837-843) —
+    out-of-range references read out of bounds, and a too-negative value
+    would (in Python) silently WRAP to a valid but wrong layer.  Fail
+    loudly instead."""
+    idx = i if i >= 0 else index + i
+    if not 0 <= idx < index:
+        raise ValueError(
+            f"{kind} layer {index}: reference {i} resolves to layer {idx}, "
+            f"outside the preceding layers [0, {index - 1}]")
+    return idx
+
+
 def _parse_route(s: Section, p: dict, index: int,
                  layers: list[LayerIR]) -> RouteIR:
     raw = s.get_int_list("layers")
     if raw is None:
         raise ValueError("Route Layer must specify input layers")
-    idxs = tuple(i if i >= 0 else index + i for i in raw)
+    idxs = tuple(_resolve_backref(i, index, "route") for i in raw)
     groups = s.get_int("groups", 1)
     group_id = s.get_int("group_id", 0)
 
@@ -533,14 +549,14 @@ def _parse_shortcut(s: Section, p: dict, index: int,
     frm = s.get_str("from")
     if frm is None:
         raise ValueError("Shortcut layer must specify from = ...")
-    idx = int(frm.split(",")[0])
-    if idx < 0:
-        idx = index + idx
+    idx = _resolve_backref(int(frm.split(",")[0]), index, "shortcut")
     src = layers[idx]
     if (src.out_w, src.out_h) != (p["w"], p["h"]):
         raise ValueError(
             f"shortcut layer {index}: spatial dims mismatch "
             f"({p['w']}x{p['h']} vs {src.out_w}x{src.out_h})")
+    # channel mismatch is allowed: channel-prefix add, matching the
+    # reference's GPU kernel semantics (ops/shapes.shortcut)
     h, w, c = p["h"], p["w"], p["c"]
     return ShortcutIR(
         index=index, h=h, w=w, c=c, inputs=h * w * c,
@@ -554,9 +570,7 @@ def _parse_scale_channels(s: Section, p: dict, index: int,
     frm = s.get_str("from")
     if frm is None:
         raise ValueError("scale_channels must specify from = ...")
-    idx = int(frm.split(",")[0])
-    if idx < 0:
-        idx = index + idx
+    idx = _resolve_backref(int(frm.split(",")[0]), index, "scale_channels")
     scale_wh = bool(s.get_int("scale_wh", 0))
     src = layers[idx]
     h, w, c = p["h"], p["w"], p["c"]

@@ -28,9 +28,25 @@ def route(tensors: list, groups: int = 1, group_id: int = 0):
 
 
 def shortcut(x, from_tensor, activation: str = "linear"):
-    """[shortcut]: strict same-shape elementwise add + activation
-    (shortcut_layer.c:145-177)."""
-    return apply_activation(x + from_tensor, activation)
+    """[shortcut]: elementwise add + activation (shortcut_layer.c:145-177).
+
+    Channel-count mismatch (same spatial dims): the reference's GPU
+    kernel guards the add by flat CHW index
+    (`blas_kernels.cu shortcut_singlelayer_simple_kernel`:
+    `if (src_i < add_outputs)`), which with equal H/W is exactly a
+    channel-PREFIX add — the first min(c_in, c_from) channels add, the
+    rest pass through.  Its CPU path instead prints "something went
+    wrong" and leaves the output buffer unwritten (stale memory) —
+    another CPU/GPU self-inconsistency; we match the GPU/defined
+    semantics (PARITY.md DEVIATIONS #16)."""
+    c_in, c_from = x.shape[-1], from_tensor.shape[-1]
+    if c_in == c_from:
+        y = x + from_tensor
+    elif c_from < c_in:
+        y = x.at[..., :c_from].add(from_tensor)
+    else:
+        y = x + from_tensor[..., :c_in]
+    return apply_activation(y, activation)
 
 
 def upsample(x, stride: int, scale: float = 1.0):

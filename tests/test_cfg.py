@@ -152,3 +152,30 @@ def test_maxpool_defaults():
     m = g.layers[0]
     assert m.size == 2 and m.pad == 1
     assert (m.out_h, m.out_w) == (8, 8)
+
+
+def test_backref_out_of_range_raises():
+    # a too-negative reference must not WRAP to a wrong-but-valid layer
+    # (Python list semantics) nor read out of bounds (reference UB,
+    # parser.cpp:745-748)
+    base = ("[net]\nwidth=16\nheight=16\nchannels=3\n"
+            "[convolutional]\nfilters=4\nsize=1\nactivation=linear\n")
+    with pytest.raises(ValueError, match="route.*outside"):
+        build_graph(base + "[route]\nlayers=-5\n")
+    with pytest.raises(ValueError, match="shortcut.*outside"):
+        build_graph(base + "[shortcut]\nfrom=-9\nactivation=linear\n")
+    with pytest.raises(ValueError, match="outside"):
+        build_graph(base + "[route]\nlayers=7\n")   # forward reference
+    with pytest.raises(ValueError, match="scale_channels.*outside"):
+        build_graph(base + "[scale_channels]\nfrom=-4\n")
+
+
+def test_shortcut_channel_mismatch_builds():
+    # channel-count mismatch is the GPU-kernel-defined prefix add
+    # (PARITY.md DEVIATIONS #16) — must parse, with out_c = input's c
+    text = ("[net]\nwidth=16\nheight=16\nchannels=3\n"
+            "[convolutional]\nfilters=4\nsize=1\nactivation=linear\n"
+            "[convolutional]\nfilters=8\nsize=1\nactivation=linear\n"
+            "[shortcut]\nfrom=-2\nactivation=linear\n")
+    g = build_graph(text)
+    assert g.layers[-1].out_c == 8

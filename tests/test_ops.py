@@ -421,3 +421,45 @@ def test_dropout_scaling(rng):
     kept = y[y > 0]
     np.testing.assert_allclose(kept, 2.0)      # 1/(1-p) scaling
     assert 0.3 < (y > 0).mean() < 0.7
+
+
+# ----------------------------------------------------- shortcut channel prefix
+
+def _gpu_shortcut_kernel_np(in_chw, add_chw):
+    """Numpy emulation of the reference's GPU shortcut
+    (blas_kernels.cu:941-965 shortcut_singlelayer_simple_kernel): per
+    batch, out[flat] = in[flat] + (add[flat] if flat < add_size) over
+    flat CHW indices."""
+    b = in_chw.shape[0]
+    out = in_chw.reshape(b, -1).copy()
+    add = add_chw.reshape(b, -1)
+    n = min(out.shape[1], add.shape[1])
+    out[:, :n] += add[:, :n]
+    return out.reshape(in_chw.shape)
+
+
+@pytest.mark.parametrize("c_in,c_from", [(8, 3), (3, 8), (5, 5)])
+def test_shortcut_channel_prefix_matches_gpu_kernel(rng, c_in, c_from):
+    # PARITY.md DEVIATIONS #16: channel mismatch = flat-prefix add on the
+    # reference's GPU build (its CPU build emits stale memory).  With
+    # equal H/W the CHW flat prefix is exactly a channel prefix.
+    x = rng.standard_normal((2, 4, 6, c_in)).astype(np.float32)
+    f = rng.standard_normal((2, 4, 6, c_from)).astype(np.float32)
+    ours = np.asarray(shapeops.shortcut(jnp.asarray(x), jnp.asarray(f)))
+
+    # reference kernel operates in CHW layout
+    ref_chw = _gpu_shortcut_kernel_np(
+        x.transpose(0, 3, 1, 2), f.transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref_chw.transpose(0, 2, 3, 1), rtol=0,
+                               atol=0)
+
+
+def test_shortcut_channel_prefix_gradients(rng):
+    # gradient flows only through the added prefix (backward kernel
+    # guards identically, blas_kernels.cu:980-1004)
+    x = jnp.asarray(rng.standard_normal((1, 2, 2, 4)).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal((1, 2, 2, 2)).astype(np.float32))
+    gx, gf = jax.grad(
+        lambda a, b: jnp.sum(shapeops.shortcut(a, b) * 2.0), (0, 1))(x, f)
+    np.testing.assert_allclose(np.asarray(gx), 2.0)   # passthrough everywhere
+    np.testing.assert_allclose(np.asarray(gf), 2.0)   # prefix receives all
