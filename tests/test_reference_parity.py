@@ -673,3 +673,69 @@ anchors=10,14, 23,27, 37,58
     assert np.abs(bin_pool - pc).max() > 0.01
     bad_cols = sorted(set(np.argwhere(np.abs(bin_pool - pc) > 1e-4)[:, 2]))
     assert all(1 <= col <= 7 for col in bad_cols)
+
+
+def test_reference_shortcut_channel_mismatch_quirk(harness, tmp_path, rng):
+    """DOCUMENTED REFERENCE CPU/GPU SELF-INCONSISTENCY (PARITY.md
+    DEVIATIONS #16): shortcut with mismatched channel counts.  The CPU
+    forward (shortcut_layer.c:145-164) requires exactly equal dims and
+    otherwise prints "something went wrong" WITHOUT writing l->output —
+    on a fresh net the calloc'd buffer makes the layer emit exact
+    zeros.  The GPU kernel (blas_kernels.cu:941-965) guards the add per
+    flat CHW element, i.e. a channel-prefix add at equal spatial dims.
+    We implement the GPU/defined semantics.  This test pins the CPU
+    behaviour live: the binary warns and outputs all-zeros, ours is the
+    prefix add of the same operands."""
+    import numpy as np
+
+    from darknet_tpu.nn.network import Network
+
+    cfg = """[net]
+batch=1
+subdivisions=1
+width=12
+height=12
+channels=3
+[convolutional]
+filters=4
+size=1
+activation=linear
+[convolutional]
+filters=8
+size=1
+activation=linear
+[shortcut]
+from=-2
+activation=linear
+"""
+    cfg_path = str(tmp_path / "sc.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(cfg)
+    weights = str(tmp_path / "sc.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=5).save_weights(weights)
+
+    x_hwc = rng.uniform(0.1, 1, (12, 12, 3)).astype(np.float32)
+    x_chw = np.ascontiguousarray(np.transpose(x_hwc, (2, 0, 1)))
+    inb = os.path.join(BUILD_DIR, "sc_in.bin")
+    outb = os.path.join(BUILD_DIR, "sc_out.bin")
+    x_chw.astype("<f4").tofile(inb)
+    r = subprocess.run([harness, cfg_path, weights, inb, outb, "0.25",
+                        "0.45"], capture_output=True, timeout=900,
+                       cwd=BUILD_DIR, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "something went wrong" in (r.stdout + r.stderr)
+    data = open(outb, "rb").read()
+    nboxes, _classes = struct.unpack("<ii", data[:8])
+    assert nboxes == 0
+    (outs,) = struct.unpack("<i", data[8:12])
+    ref_raw = np.frombuffer(data[12:12 + 4 * outs], dtype="<f4")
+    assert outs == 12 * 12 * 8
+    np.testing.assert_array_equal(ref_raw, 0.0)    # stale calloc'd buffer
+
+    # ours = GPU-kernel semantics (exact prefix math is op-level gated in
+    # test_ops); here just assert the layer actually produces output
+    # where the reference CPU build emits zeros
+    net = Network.from_cfg(cfg_path, weights=weights)
+    ours = net.predict(x_hwc)[0]                   # (12, 12, 8) NHWC
+    assert np.any(ours != 0.0)
