@@ -71,7 +71,7 @@ def nms_numpy(boxes: np.ndarray, probs: np.ndarray, thresh: float,
               allow_native: bool = True) -> np.ndarray:
     """Exact NmsSort: boxes (N,4), probs (N,C) -> suppressed probs (N,C).
 
-    Dispatches to the native C++ kernel (native/yolo_host) when available —
+    Dispatches to the native C++ kernel (darknet_tpu/_native) when available —
     identical semantics, ~100x faster for the mAP validator's thousands of
     candidates; falls back to pure numpy."""
     if allow_native:

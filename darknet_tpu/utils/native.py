@@ -1,8 +1,11 @@
-"""ctypes loader for the native host runtime (native/yolo_host).
+"""ctypes loader for the native host kernels (darknet_tpu/_native).
 
 Builds the shared library on first use (g++ -O3 -march=native) and caches
-it next to the sources; every consumer falls back to the pure-numpy
-implementation when no toolchain is available.
+it next to the source — or, when the package directory is not writable
+(installed wheel), under ``~/.cache/darknet_tpu``.  The source ships as
+package data so an installed wheel keeps the native path; every consumer
+falls back to the pure-numpy implementation when no toolchain is
+available.
 """
 
 from __future__ import annotations
@@ -16,10 +19,21 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                    "yolo_host", "yolo_host.cpp")
-_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                    "yolo_host", "libyolo_host.so")
+_SRC = os.path.join(os.path.dirname(__file__), "..", "_native",
+                    "yolo_host.cpp")
+
+
+def _out_path(src: str) -> str:
+    """Build target next to the source, or in a user cache dir when the
+    package is installed read-only."""
+    nxt = os.path.join(os.path.dirname(src), "libyolo_host.so")
+    if os.access(os.path.dirname(src), os.W_OK):
+        return nxt
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")), "darknet_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libyolo_host.so")
 
 
 def load() -> ctypes.CDLL | None:
@@ -28,10 +42,10 @@ def load() -> ctypes.CDLL | None:
         return _LIB
     _TRIED = True
     src = os.path.abspath(_SRC)
-    out = os.path.abspath(_OUT)
     if not os.path.exists(src):
         return None
     try:
+        out = _out_path(src)
         if (not os.path.exists(out)
                 or os.path.getmtime(out) < os.path.getmtime(src)):
             subprocess.run(
