@@ -216,9 +216,10 @@ def _submit_frame(net, frame_bgr, args):
     else:
         resized = cv2.resize(rgb, (net.net.w, net.net.h),
                              interpolation=cv2.INTER_LINEAR)
-    fn = net._device_detect_fn(1, net.net.h, net.net.w, args.thresh,
-                               args.nms_thresh, getattr(args, "top_k", 256))
-    return fn(net.params, jnp.asarray(resized[None]))
+    return net.submit_detect_device(jnp.asarray(resized[None]),
+                                    thresh=args.thresh,
+                                    nms=args.nms_thresh,
+                                    top_k=getattr(args, "top_k", 256))
 
 
 def _finalize_frame(net, md, frame_bgr, out, args, track_manager=None):
@@ -279,15 +280,12 @@ def _submit_frames_batch(net, frames_bgr, args):
                                      interpolation=cv2.INTER_LINEAR))
         x = np.stack(xs)
     if _use_device_nms(args):
-        fn = net._device_detect_fn(x.shape[0], net.net.h, net.net.w,
-                                   args.thresh, args.nms_thresh,
-                                   getattr(args, "top_k", 256),
-                                   mesh=_serving_mesh(args, x.shape[0]))
-        # device arrays (the on-device letterbox output) feed the detect
-        # program directly; _prep_input would np.asarray — a blocking
-        # D2H + re-upload that defeats the async submit
-        xin = net._prep_input(x) if isinstance(x, np.ndarray) else x
-        return ("dev", fn(net.params, xin))
+        # submit_detect_device passes device arrays (the on-device
+        # letterbox output) straight through to the detect program
+        return ("dev", net.submit_detect_device(
+            x, thresh=args.thresh, nms=args.nms_thresh,
+            top_k=getattr(args, "top_k", 256),
+            mesh=_serving_mesh(args, x.shape[0])))
     return ("host", net.detect_batch(np.asarray(x), thresh=args.thresh,
                                      nms=args.nms_thresh,
                                      mesh=_serving_mesh(args,

@@ -328,16 +328,28 @@ class Network:
 
     def submit_detect_device(self, images, thresh: float = 0.25,
                              nms: float = 0.45, top_k: int = 256,
-                             mesh=None):
+                             mesh=None, score_dtype=None):
         """Dispatch the device serving program WITHOUT materializing the
         result: returns the (boxes, objectness, probs) device triple —
         JAX async dispatch means the call returns as soon as the program
         is enqueued.  Streaming callers submit frame t+1, then finalize
         frame t with `device_out_to_dets` while t+1 runs on device (the
-        CLI video modes and examples/04 use exactly this pattern)."""
-        x = self._prep_input(images)
+        CLI video modes and examples/04 use exactly this pattern).
+
+        Device-resident inputs (e.g. the on-device letterbox output)
+        pass through with a shape check only — np.asarray here would be
+        a blocking D2H + re-upload, defeating the async submit."""
+        if isinstance(images, jax.Array):
+            x = images if images.ndim == 4 else images[None]
+            if x.shape[1:] != (self.net.h, self.net.w, self.net.c):
+                raise ValueError(
+                    f"input must be (H,W,C)=({self.net.h},{self.net.w},"
+                    f"{self.net.c}) — got {x.shape[1:]}")
+        else:
+            x = self._prep_input(images)
         fn = self._device_detect_fn(x.shape[0], x.shape[1], x.shape[2],
-                                    thresh, nms, top_k, mesh=mesh)
+                                    thresh, nms, top_k, mesh=mesh,
+                                    score_dtype=score_dtype)
         return fn(self.params, x)
 
     @staticmethod

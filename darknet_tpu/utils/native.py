@@ -23,17 +23,27 @@ _SRC = os.path.join(os.path.dirname(__file__), "..", "_native",
                     "yolo_host.cpp")
 
 
-def _out_path(src: str) -> str:
+_CFLAGS = ["-O3", "-march=native", "-shared", "-fPIC"]
+
+
+def _out_path(src: str, src_bytes: bytes) -> str:
     """Build target next to the source, or in a user cache dir when the
-    package is installed read-only."""
-    nxt = os.path.join(os.path.dirname(src), "libyolo_host.so")
+    package is installed read-only.  The filename carries a hash of the
+    source + compiler flags: wheel mtimes are not version-ordered (and
+    the cache dir may be shared across venvs with different package
+    versions), so content is the only safe cache key."""
+    import hashlib
+
+    tag = hashlib.sha256(src_bytes + b"\0"
+                         + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+    name = f"libyolo_host-{tag}.so"
     if os.access(os.path.dirname(src), os.W_OK):
-        return nxt
+        return os.path.join(os.path.dirname(src), name)
     cache = os.path.join(
         os.environ.get("XDG_CACHE_HOME",
                        os.path.expanduser("~/.cache")), "darknet_tpu")
     os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, "libyolo_host.so")
+    return os.path.join(cache, name)
 
 
 def load() -> ctypes.CDLL | None:
@@ -45,13 +55,18 @@ def load() -> ctypes.CDLL | None:
     if not os.path.exists(src):
         return None
     try:
-        out = _out_path(src)
-        if (not os.path.exists(out)
-                or os.path.getmtime(out) < os.path.getmtime(src)):
+        with open(src, "rb") as f:
+            src_bytes = f.read()
+        out = _out_path(src, src_bytes)
+        if not os.path.exists(out):
+            # compile to a private temp name and rename: concurrent
+            # first-use processes (pytest workers, example subprocesses)
+            # must never dlopen a half-linked file
+            tmp = f"{out}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 src, "-o", out],
+                ["g++", *_CFLAGS, src, "-o", tmp],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, out)
         lib = ctypes.CDLL(out)
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.yolo_nms.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,

@@ -1,7 +1,8 @@
 """Multi-chip data parallelism: sharded training step + sharded serving.
 
 Forces an 8-device virtual CPU mesh (works on any machine; on a real TPU
-pod slice drop the XLA_FLAGS override and the same code runs over ICI).
+pod slice remove BOTH the XLA_FLAGS override below and the
+`jax_platforms=cpu` update in main() and the same code runs over ICI).
 Demonstrates:
 
   * parallel.mesh.make_mesh + shard_batch — the device mesh and batch

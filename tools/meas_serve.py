@@ -1,7 +1,9 @@
-"""Same-process serving A/Bs on the real chip (session 8):
-  1. fused vs dense device-NMS predicate at the bench config (int8 b128)
-  2. confirm the official bench regime still holds (one run inline)
-Usage: python /tmp/r3_serve_meas.py [nms|bench|all]
+"""Same-process serving A/Bs on the real chip:
+  nms   — fused vs dense device-NMS predicate at the bench config
+          (int8 + static calibration), interleaved x2
+  bench — one timing of the default serving program in the same process
+          (regime sanity; the official number stays bench.py's)
+Usage: python tools/meas_serve.py [nms|bench|all] [batch]
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -55,3 +57,9 @@ if which in ("all", "nms"):
                                        score_dtype=jnp.bfloat16)
             timeit(fn, f"rep{rep} {impl}")
     nmslib.nms_device = orig
+
+if which in ("all", "bench"):
+    net._fwd_cache.clear()
+    fn = net._device_detect_fn(B, 608, 608, 0.25, 0.45, 256,
+                               score_dtype=jnp.bfloat16)
+    timeit(fn, f"default serving b{B}")
