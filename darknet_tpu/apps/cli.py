@@ -108,6 +108,18 @@ def _use_device_nms(args) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _gui_ok() -> bool:
+    """Live windows like the reference (imshow + waitKey,
+    yolo_core.cpp:211-212,267-268,378-379) when a display exists;
+    headless runs (no DISPLAY on linux, or DARKNET_TPU_NO_GUI=1) write
+    files only."""
+    if os.environ.get("DARKNET_TPU_NO_GUI"):
+        return False
+    if sys.platform in ("darwin", "win32"):
+        return True
+    return bool(os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"))
+
+
 def _load_metadata(args):
     from darknet_tpu.config.metadata import Metadata
 
@@ -438,6 +450,9 @@ def mode_image(args):
                            "det_" + os.path.basename(path))
         cv2.imwrite(out, display)
         print(f"  saved {out}")
+        if _gui_ok():
+            cv2.imshow(args.mode, display)     # yolo_core.cpp:211-212
+            cv2.waitKey(0)
 
 
 def mode_video(args):
@@ -466,19 +481,22 @@ def mode_video(args):
     import threading
 
     frames_q: "queue.Queue" = queue.Queue(maxsize=4)
+    stop_evt = threading.Event()          # set by ESC in the live window
 
     def _reader():
-        while True:
+        while not stop_evt.is_set():
             ok, f = cap.read()
             if not ok:
-                frames_q.put(None)
-                return
+                break
             frames_q.put(f)
+        frames_q.put(None)
 
-    threading.Thread(target=_reader, daemon=True).start()
+    reader_t = threading.Thread(target=_reader, daemon=True)
+    reader_t.start()
 
     writer = None
     curr = 0
+    gui = _gui_ok()
 
     def _emit(display, dt):
         nonlocal writer, curr
@@ -496,6 +514,10 @@ def mode_video(args):
                     out, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                     (out_bgr.shape[1], out_bgr.shape[0]))
             writer.write(out_bgr)
+        if gui:
+            cv2.imshow(args.mode, out_bgr)     # yolo_core.cpp:267-268
+            if cv2.waitKey(1) == 27:           # ESC
+                stop_evt.set()
         curr += 1
 
     if _use_device_nms(args):
@@ -507,6 +529,8 @@ def mode_video(args):
         pending = None     # (frame, submitted-device-output, submit-secs)
         while True:
             frame = frames_q.get()
+            if stop_evt.is_set():
+                frame = None               # ESC: finalize pending and stop
             cur = None
             if frame is not None:
                 t0 = time.perf_counter()
@@ -529,12 +553,24 @@ def mode_video(args):
     else:
         while True:
             frame = frames_q.get()
-            if frame is None:
+            if frame is None or stop_evt.is_set():
                 break
             t0 = time.perf_counter()
             display, _ = _proc_frame(net, md, frame, args, track_manager=tm)
             _emit(display, (time.perf_counter() - t0) * 1000)
-    cap.release()
+    # on ESC the reader may still be alive (possibly blocked on a full
+    # queue): signal it, drain, and only release the capture once the
+    # reader is done — cv2.VideoCapture is not safe for concurrent
+    # read()/release()
+    stop_evt.set()
+    while True:
+        try:
+            frames_q.get_nowait()
+        except queue.Empty:
+            break
+    reader_t.join(timeout=2.0)
+    if not reader_t.is_alive():
+        cap.release()
     if writer is not None:
         writer.release()
     print(f"processed {curr} frames")
@@ -575,8 +611,11 @@ def mode_multi_video(args):
             frames.append(frame)
         return frames
 
+    gui = _gui_ok()
+    stop = False
+
     def _tail(outs):
-        nonlocal curr
+        nonlocal curr, stop
         for i, (display, _dets) in enumerate(outs):
             geos[i].proc(tms[i].get_tracks())
             if args.save_output:
@@ -590,6 +629,11 @@ def mode_multi_video(args):
                         out, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                         (display.shape[1], display.shape[0]))
                 writers[i].write(display)
+            if gui:
+                # one window per camera (yolo_core.cpp:378-379)
+                cv2.imshow(f"{args.mode}-{i}", display)
+        if gui and cv2.waitKey(1) == 27:       # ESC
+            stop = True
         # cross-camera label handover between the first two cameras' zones
         if len(geos) >= 2 and geos[0].handovers and geos[1].handovers:
             Handover.crosstalk(geos[0].handovers[0], geos[1].handovers[0])
@@ -601,7 +645,7 @@ def mode_multi_video(args):
         # write tail executes on host; set order is preserved
         pending = None
         while True:
-            frames = _read_set()
+            frames = None if stop else _read_set()
             cur = ((frames, _submit_frames_batch(net, frames, args))
                    if frames is not None else None)
             if pending is not None:
@@ -614,7 +658,7 @@ def mode_multi_video(args):
     else:
         while True:
             frames = _read_set()
-            if frames is None:
+            if frames is None or stop:
                 break
             _tail(_proc_frames_batch(net, md, frames, args,
                                      track_managers=tms))

@@ -7,6 +7,7 @@ without TPUs, via `--xla_force_host_platform_device_count` host emulation.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("DARKNET_TPU_NO_GUI", "1")   # no imshow windows in CI
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
