@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 calibration cache: load it if present, "
                         "else save the freshly computed scales there "
                         "(pair with -int8_calib)")
+    p.add_argument("-coco_map", "--coco_map", action="store_true",
+                   help="valid mode: also report COCO AP@[.5:.95] "
+                        "(10-threshold sweep from the same predictions)")
     p.add_argument("-int8_calib", "--int8_calib", type=int, default=0,
                    help="valid mode: calibrate static activation scales "
                         "on the first N val images")
@@ -415,13 +418,19 @@ def mode_valid(args):
     # the reference's valid mode resizes with its own two-pass bilinear
     # (load_image + resize_image, data.cpp:695-698) — use the exact port
     # so CLI mAP numbers are comparable with the reference binary's
+    from darknet_tpu.eval.map import COCO_IOUS
+
     res = validate_detector(net, paths, md.classes, iou_thresh=0.5,
-                            batch=batch, resize="darknet", mesh=mesh)
+                            batch=batch, resize="darknet", mesh=mesh,
+                            iou_thresholds=(COCO_IOUS if args.coco_map
+                                            else None))
     print(f"\n # of pred: {res.n_pred}\n # of GT: {res.n_gt}")
     print(f" Recall: {res.recall:.4g}%\n Precision: {res.precision:.4g}%")
     for cid, ap in enumerate(res.per_class_ap):
         print(f" cid = {cid}, name = {md.names[cid]}, ap = {ap * 100:.4g}%")
     print(f"\n mAP@0.5: {res.map * 100:.4g}%")
+    if res.map_mean_iou is not None:
+        print(f" AP@[.5:.95]: {res.map_mean_iou * 100:.4g}%")
     print(f" Total prediction time: {res.pred_time_s:.4g}s")
     print(f" Prediction per second: {res.imgs_per_s:.4g}")
     return res.map

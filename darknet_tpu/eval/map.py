@@ -23,6 +23,10 @@ from darknet_tpu.data.image import load_image_rgb, resize_image_cv
 from darknet_tpu.data.labels import image_to_label_path, read_box_annot
 
 
+#: the COCO challenge's IoU sweep (AP@[.5:.95], step .05)
+COCO_IOUS = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+
+
 @dataclasses.dataclass
 class MapResult:
     map: float
@@ -33,6 +37,11 @@ class MapResult:
     imgs_per_s: float
     n_pred: int
     n_gt: int
+    # multi-IoU sweep (iou_thresholds=): mAP per threshold, and their
+    # mean — the COCO AP@[.5:.95] when thresholds == COCO_IOUS.  The
+    # reference evaluates a single threshold only (detector.cpp:326).
+    map_by_iou: dict | None = None
+    map_mean_iou: float | None = None
 
 
 def _iou_single(a, b):
@@ -63,7 +72,7 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
                       thresh: float = 0.005, nms: float = 0.45,
                       batch: int = 1, progress: bool = True,
                       threads: int = 6, resize: str = "cv",
-                      mesh=None) -> MapResult:
+                      mesh=None, iou_thresholds=None) -> MapResult:
     """Run the full mAP pipeline with a `Network` (or anything exposing
     `detect_batch`).
 
@@ -77,10 +86,21 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
     PR accumulation stay on host, bit-identical to the single-chip path
     — the reference's ValidateDetector is single-GPU only
     (detector.cpp:326-561).
+
+    iou_thresholds (e.g. COCO_IOUS): evaluate additional IoU thresholds
+    from the SAME prediction pass — only the cheap host-side det↔GT
+    matching and PR accumulation repeat per threshold.  The headline
+    fields stay at `iou_thresh` (reference semantics); `map_by_iou` /
+    `map_mean_iou` carry the sweep (COCO AP@[.5:.95] when the sweep is
+    COCO_IOUS).
     """
     import concurrent.futures as cf
 
-    val_boxes = []          # (prob, cid, matched, gt_idx)
+    sweep = [float(iou_thresh)]
+    if iou_thresholds is not None:
+        sweep += [float(t) for t in iou_thresholds
+                  if float(t) != float(iou_thresh)]
+    val_boxes = {t: [] for t in sweep}      # t -> (prob, cid, matched, gt_idx)
     num_gt_class = np.zeros(classes, np.int64)
     num_gt = 0
     pred_time = 0.0
@@ -125,28 +145,31 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
 
                 d_boxes = np.asarray([d.bbox for d in dets], np.float32)
                 d_probs = np.stack([np.asarray(d.prob) for d in dets])
-                rows = match_dets_native(d_boxes, d_probs, gt, iou_thresh)
-                if rows is not None:
-                    for prob, cid, gt_idx in rows:
-                        gi = int(gt_idx)
-                        val_boxes.append(
-                            (float(prob), int(cid), gi > -1,
-                             num_gt + gi if gi > -1 else -1))
-                else:
-                    for d in dets:
-                        probs = np.asarray(d.prob)
-                        for cid in np.nonzero(np.abs(probs) >=
-                                              np.finfo(np.float32).eps)[0]:
-                            gt_idx, max_iou = -1, 0.0
-                            for k, row in enumerate(gt):
-                                if int(row[0]) != cid:
-                                    continue
-                                iou = _iou_single(d.bbox, row[1:5])
-                                if iou > iou_thresh and iou > max_iou:
-                                    max_iou = iou
-                                    gt_idx = num_gt + k
-                            val_boxes.append((float(probs[cid]), int(cid),
-                                              gt_idx > -1, gt_idx))
+                for t in sweep:
+                    rows = match_dets_native(d_boxes, d_probs, gt, t)
+                    if rows is not None:
+                        for prob, cid, gt_idx in rows:
+                            gi = int(gt_idx)
+                            val_boxes[t].append(
+                                (float(prob), int(cid), gi > -1,
+                                 num_gt + gi if gi > -1 else -1))
+                    else:
+                        for d in dets:
+                            probs = np.asarray(d.prob)
+                            for cid in np.nonzero(
+                                    np.abs(probs)
+                                    >= np.finfo(np.float32).eps)[0]:
+                                gt_idx, max_iou = -1, 0.0
+                                for k, row in enumerate(gt):
+                                    if int(row[0]) != cid:
+                                        continue
+                                    iou = _iou_single(d.bbox, row[1:5])
+                                    if iou > t and iou > max_iou:
+                                        max_iou = iou
+                                        gt_idx = num_gt + k
+                                val_boxes[t].append(
+                                    (float(probs[cid]), int(cid),
+                                     gt_idx > -1, gt_idx))
             num_gt += len(gt)
         if progress:
             print(f"\rCalculating mAP for {start + len(chunk)} samples...",
@@ -155,8 +178,17 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
     if progress:
         print()
 
-    return _pr_from_valboxes(val_boxes, num_gt_class, num_gt, classes,
-                             pred_time, len(img_paths))
+    res = _pr_from_valboxes(val_boxes[sweep[0]], num_gt_class, num_gt,
+                            classes, pred_time, len(img_paths))
+    if len(sweep) > 1:
+        by_iou = {sweep[0]: res.map}
+        for t in sweep[1:]:
+            by_iou[t] = _pr_from_valboxes(
+                val_boxes[t], num_gt_class, num_gt, classes,
+                pred_time, len(img_paths)).map
+        res.map_by_iou = dict(sorted(by_iou.items()))
+        res.map_mean_iou = float(np.mean(list(by_iou.values())))
+    return res
 
 
 def _pr_from_valboxes(val_boxes, num_gt_class, num_gt, classes, pred_time,

@@ -222,3 +222,37 @@ def test_validate_detector_mesh_matches_single(dataset):
     for a, b in zip(d1[0], dm[0]):
         np.testing.assert_allclose(a.prob, b.prob, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(a.bbox, b.bbox, rtol=1e-5, atol=1e-7)
+
+
+def test_multi_iou_sweep(dataset):
+    """COCO-style AP@[.5:.95] from one prediction pass: the headline
+    fields stay reference-exact at iou_thresh, map_by_iou carries the
+    sweep (monotone non-increasing for a fixed det set), and the 0.5
+    entry equals the single-threshold run exactly."""
+    from darknet_tpu.eval.map import COCO_IOUS
+
+    class _Shifted(_StubNet):
+        # det shifted by 0.06 in x: IoU vs the (0.5,0.5,0.25,0.25) GT is
+        # (0.19*0.25)/(2*0.0625-0.19*0.25) ≈ 0.61 — a TP at t<=0.60,
+        # an FP above
+        def detect_batch(self, x, thresh=0.005, nms=0.45):
+            out = super().detect_batch(x, thresh, nms)
+            return [[Detection(bbox=(0.56, 0.5, 0.25, 0.25),
+                               objectness=d[0].objectness,
+                               prob=d[0].prob)] for d in out]
+
+    single = validate_detector(_Shifted(classes=2), dataset, classes=2,
+                               batch=2, progress=False)
+    multi = validate_detector(_Shifted(classes=2), dataset, classes=2,
+                              batch=2, progress=False,
+                              iou_thresholds=COCO_IOUS)
+    assert single.map_by_iou is None and single.map_mean_iou is None
+    assert multi.map == single.map                      # headline unchanged
+    assert multi.map_by_iou[0.5] == single.map
+    vals = [multi.map_by_iou[t] for t in sorted(multi.map_by_iou)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone in IoU
+    # IoU of the shifted det is ~0.613: TP at t<=0.60 (class-0 AP 0.8,
+    # mean over 2 classes 0.4), FP above
+    assert abs(vals[0] - 0.4) < 1e-9
+    assert vals[-1] == 0.0
+    assert abs(multi.map_mean_iou - np.mean(vals)) < 1e-12
