@@ -112,15 +112,9 @@ def _use_device_nms(args) -> bool:
 
 
 def _gui_ok() -> bool:
-    """Live windows like the reference (imshow + waitKey,
-    yolo_core.cpp:211-212,267-268,378-379) when a display exists;
-    headless runs (no DISPLAY on linux, or DARKNET_TPU_NO_GUI=1) write
-    files only."""
-    if os.environ.get("DARKNET_TPU_NO_GUI"):
-        return False
-    if sys.platform in ("darwin", "win32"):
-        return True
-    return bool(os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"))
+    from darknet_tpu.apps.visualize import gui_ok
+
+    return gui_ok()
 
 
 def _load_metadata(args):

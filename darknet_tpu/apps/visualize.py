@@ -21,6 +21,22 @@ from darknet_tpu.apps.tracker import STATIONARY
 _FONT = 0 if cv2 is None else cv2.FONT_HERSHEY_COMPLEX_SMALL
 
 
+def gui_ok() -> bool:
+    """Live windows like the reference (imshow + waitKey,
+    yolo_core.cpp:211-212,267-268,378-379; the training chart window,
+    visualize.cpp:308-314) when a display exists; headless runs (no
+    DISPLAY on linux, or DARKNET_TPU_NO_GUI=1) write files only."""
+    import os
+    import sys
+
+    if os.environ.get("DARKNET_TPU_NO_GUI"):
+        return False
+    if sys.platform in ("darwin", "win32"):
+        return True
+    return bool(os.environ.get("DISPLAY")
+                or os.environ.get("WAYLAND_DISPLAY"))
+
+
 def get_rand_color(idx: int) -> tuple:
     """Deterministic pseudo-random palette keyed by class/label."""
     rng = np.random.default_rng(idx * 7919 + 17)

@@ -95,6 +95,12 @@ class DetectorTrainer:
         self._avg_loss = -1.0        # EMA loss; persisted for exact resume
         self._best_map = 0.0         # best in-training mAP; persisted too
         self._dims = None            # current multi-scale bucket; persisted
+        # loss/mAP chart history (DrawLossGraph, detector.cpp:123,269-270):
+        # rendered to <save_dir>/chart.png (+ a live window when a display
+        # exists); persisted so a resumed run's chart keeps its history —
+        # the reference's chart restarts empty on every restart
+        self._chart = {"iters": [], "losses": [], "map_iters": [],
+                       "maps": []}
         self.state_path = os.path.join(save_dir,
                                        f"{save_name}_last.ckpt.npz")
         self._resume = resume
@@ -340,12 +346,19 @@ class DetectorTrainer:
                 count=int(metrics["count"]),
                 class_loss=float(metrics["class_loss"]),
                 dims=[dim_w_b, dim_h_b])
+            self._chart["iters"].append(it)
+            self._chart["losses"].append(avg_loss)
+            if it % 10 == 0 or it >= end_iter:
+                self._render_chart()
 
             if self.calc_map and self.val_paths and \
                     (it >= iter_map or it == net.max_iter):
                 m = self.evaluate_map()
                 self.log(f"mAP@0.5 = {m * 100:.2f}%")
                 self.metrics.map_event(it, m)
+                self._chart["map_iters"].append(it)
+                self._chart["maps"].append(m)
+                self._render_chart()
                 if m > best_map:
                     best_map = m
                     self._best_map = m
@@ -413,6 +426,26 @@ class DetectorTrainer:
                                 batch=batch, resize="darknet", mesh=mesh)
         return res.map
 
+    def _render_chart(self) -> None:
+        """chart.png + live window (the reference draws per iteration with
+        max_loss=5, detector.cpp:122-123,269-270; we render every 10th —
+        a PNG encode per iteration would be ~10% of a fast step)."""
+        try:
+            from darknet_tpu.apps import visualize as viz
+        except Exception:
+            return                       # cv2-less environment: skip
+        os.makedirs(self.save_dir, exist_ok=True)
+        img = viz.draw_loss_chart(
+            self._chart["iters"], self._chart["losses"],
+            self._chart["map_iters"], self._chart["maps"],
+            max_iter=self.net.max_iter,
+            path=os.path.join(self.save_dir, "chart.png"))
+        if viz.gui_ok():
+            import cv2
+
+            cv2.imshow("average loss", img[..., ::-1])
+            cv2.waitKey(1)
+
     def save_state(self, path: str | None = None) -> str:
         """Write the rolling full-state checkpoint (params + optimizer
         slots + seen + rng key) so training can resume exactly — the
@@ -428,6 +461,13 @@ class DetectorTrainer:
         extra = {"avg_loss": self._avg_loss, "best_map": self._best_map}
         if self._dims:
             extra["dim_w"], extra["dim_h"] = self._dims
+        if self._chart["iters"]:
+            extra["chart_iters"] = np.asarray(self._chart["iters"], np.int64)
+            extra["chart_losses"] = np.asarray(self._chart["losses"],
+                                               np.float32)
+            extra["chart_map_iters"] = np.asarray(self._chart["map_iters"],
+                                                  np.int64)
+            extra["chart_maps"] = np.asarray(self._chart["maps"], np.float32)
         if jax.process_count() > 1:
             path = path[:-len(".npz")] if path.endswith(".npz") else path
             ck.save_checkpoint_sharded(path, self.params, self.opt_state,
@@ -461,6 +501,13 @@ class DetectorTrainer:
             self._key = jnp.asarray(rng)
         self._avg_loss = float(extra.get("avg_loss", -1.0))
         self._best_map = float(extra.get("best_map", 0.0))
+        if "chart_iters" in extra:
+            self._chart = {
+                "iters": [int(v) for v in extra["chart_iters"]],
+                "losses": [float(v) for v in extra["chart_losses"]],
+                "map_iters": [int(v) for v in extra["chart_map_iters"]],
+                "maps": [float(v) for v in extra["chart_maps"]],
+            }
         if "dim_w" in extra:
             # restore the multi-scale bucket the saved run was training
             # at, so the resumed batches match the uninterrupted stream

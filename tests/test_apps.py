@@ -428,3 +428,45 @@ def test_multi_camera_batch_shards_over_serving_mesh():
     for a, b in zip(d1, dm):
         np.testing.assert_allclose(a.prob, b.prob, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(a.bbox, b.bbox, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_renders_chart_and_persists_history(tmp_path):
+    """The reference's TrainDetector renders a live loss/mAP chart +
+    chart.png (detector.cpp:122-123,269-270, visualize.cpp:172-315); the
+    trainer must produce it and carry the history through a full-state
+    checkpoint (the reference's chart restarts empty on resume)."""
+    from darknet_tpu.data.synth import generate
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    files = generate(str(tmp_path / "ds"), n_train=16, n_val=4, seed=3)
+    cfg = ("[net]\nbatch=4\nsubdivisions=1\nwidth=64\nheight=64\n"
+           "channels=3\nlearning_rate=0.001\nburn_in=5\npolicy=constant\n"
+           "max_epoch=1000\n"
+           "[convolutional]\nbatch_normalize=1\nfilters=8\nsize=3\n"
+           "stride=2\npad=1\nactivation=leaky\n"
+           "[convolutional]\nfilters=27\nsize=1\nactivation=linear\n"
+           "[yolo]\nmask=0,1,2\nnum=3\nclasses=4\n"
+           "anchors=16,16, 24,24, 32,24\n")
+    tr = DetectorTrainer(cfg, files["train_paths"], classes=4,
+                         save_dir=str(tmp_path / "bk"), save_name="m",
+                         loader_threads=2, log=lambda *a: None)
+    tr.net.max_iter = 1000
+    tr.train(max_iters=12)
+    try:
+        chart = tmp_path / "bk" / "chart.png"
+        assert chart.exists() and chart.stat().st_size > 0
+        assert len(tr._chart["iters"]) == 12
+
+        # history survives the full-state checkpoint round trip
+        tr.save_state()
+        tr2 = DetectorTrainer(cfg, files["train_paths"], classes=4,
+                              save_dir=str(tmp_path / "bk"), save_name="m",
+                              loader_threads=2, log=lambda *a: None)
+        tr2.load_state(tr.state_path)
+        assert tr2._chart["iters"] == tr._chart["iters"]
+        # losses persist as f32 in the npz — compare at that precision
+        np.testing.assert_allclose(tr2._chart["losses"],
+                                   tr._chart["losses"], rtol=1e-6)
+        tr2.close()
+    finally:
+        tr.close()
