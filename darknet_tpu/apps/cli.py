@@ -130,6 +130,9 @@ def _load_network(args, train=False):
     net = Network.from_cfg(args.model_file, weights=weights, train=train,
                            clear=args.clear,
                            int8=getattr(args, "int8", False) and not train)
+    # per-layer construction table on stderr, like every LoadNetwork in
+    # the reference (parser.cpp:1134-1135); golden-gated vs the binary
+    print(net.graph.layer_table(), file=sys.stderr)
     calib = getattr(args, "calib_file", "")
     if not train and getattr(args, "int8", False) and calib and \
             os.path.exists(calib):
@@ -340,6 +343,7 @@ def mode_train(args):
         show_imgs=3 if args.show_imgs else 0, remat=args.remat,
         act16=args.act16,
         loader_processes=args.loader_processes, resume=args.resume)
+    print(trainer.graph.layer_table(), file=sys.stderr)
     trainer.train()
 
 
