@@ -847,4 +847,12 @@ def build_graph(cfg, train: bool = False) -> Graph:
         if flag:
             l.train_only_bn = True
 
+    # unused-key warnings, like the reference's UnusedOption sweep at the
+    # end of every section parse (option_list.cpp:232, parser.cpp:1370) —
+    # typos in a cfg surface instead of being silently ignored
+    from darknet_tpu.config.cfg import iter_unused_warnings
+
+    for msg in iter_unused_warnings(sections):
+        warnings.warn(msg)
+
     return Graph(net, layers)

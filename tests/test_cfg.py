@@ -179,3 +179,24 @@ def test_shortcut_channel_mismatch_builds():
             "[shortcut]\nfrom=-2\nactivation=linear\n")
     g = build_graph(text)
     assert g.layers[-1].out_c == 8
+
+
+def test_unused_option_warnings():
+    # the reference warns for cfg keys nothing read (UnusedOption,
+    # option_list.cpp:232, parser.cpp:1370); typos must not be silent
+    import warnings as w
+
+    text = ("[net]\nwidth=16\nheight=16\nchannels=3\nmispeled_key=1\n"
+            "[convolutional]\nfilters=4\nsize=1\nactivation=linear\n")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        build_graph(text)
+    msgs = [str(r.message) for r in rec if "Unused option" in str(r.message)]
+    assert any("mispeled_key" in m for m in msgs), msgs
+    # a fully-consumed cfg stays silent
+    clean = ("[net]\nwidth=16\nheight=16\nchannels=3\n"
+             "[convolutional]\nfilters=4\nsize=1\nactivation=linear\n")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        build_graph(clean)
+    assert not [r for r in rec if "Unused option" in str(r.message)]
