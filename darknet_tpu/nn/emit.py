@@ -336,7 +336,26 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                 elif k == "local":
                     cur = local_block(cur, params[i], l)
                 elif k == "maxpool":
-                    cur = maxpool_block(cur, l, train=train)
+                    # back-referenced antialiased maxpool: same front-filled
+                    # stride-1 buffer view as the conv case — its forward
+                    # also memcpy's only the blur output over the front
+                    # (maxpool_layer.cpp:86-95); found live by fuzz seed 653
+                    # (scale_channels from an antialiased maxpool)
+                    aa_backref = (getattr(l, "antialiasing", 0)
+                                  and i in live
+                                  and (l.blur_stride_x > 1
+                                       or l.blur_stride_y > 1))
+                    if aa_backref:
+                        from darknet_tpu.ops.conv import (
+                            antialias_backref_view, antialias_blur)
+                        from darknet_tpu.ops.pooling import maxpool
+
+                        y_pool = maxpool(cur, l, train=train)
+                        cur = antialias_blur(y_pool, l)
+                        backref_views[i] = antialias_backref_view(
+                            y_pool, cur, l)
+                    else:
+                        cur = maxpool_block(cur, l, train=train)
                 elif k == "avgpool":
                     cur = global_avgpool(cur)
                 elif k == "route":
