@@ -231,14 +231,17 @@ def random_cfg(seed: int, size: int = 64, classes: int = 5,
                                   251, 263, 307, 331, 389, 401, 433, 467,
                                   499, 523, 571, 601, 643, 677, 709, 751,
                                   773, 809, 857, 907, 953, 977, 1009, 1049,
-                                  1091, 1123, 1181, 1213, 1259])
+                                  1091, 1123, 1181, 1213, 1259, 1297,
+                                  1327, 1381, 1423, 1453, 1489, 1531,
+                                  1579, 1613])
 def test_random_graph_parity(harness, tmp_path, rng, seed):
     cfg = random_cfg(seed)
     _compare(cfg, tmp_path, harness, rng, 64, atol_act=2e-5, thresh=0.2)
 
 
 @pytest.mark.parametrize("seed", [17, 73, 131, 197, 229, 283, 353, 419,
-                                  461, 509, 547, 587, 613, 653, 691])
+                                  461, 509, 547, 587, 613, 653, 691, 727,
+                                  757, 787, 821, 853, 883, 919, 947])
 def test_random_graph_parity_nonsquare(harness, tmp_path, rng, seed):
     """Rectangular nets (width != height): every op's h/w handling."""
     cfg = random_cfg(seed, size=48, width=64)
