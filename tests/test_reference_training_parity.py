@@ -328,7 +328,7 @@ activation=linear
 
 @pytest.mark.parametrize("seed", [3, 17, 29, 43, 71, 97, 113, 151,
                                   173, 193, 227, 257, 281, 311, 347,
-                                  379])
+                                  379, 409, 439, 463, 491, 521, 557])
 def test_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Property-based training-math gate: random loss configurations and
     truths vs TrainNetworkDatum.
@@ -396,7 +396,7 @@ activation=linear
 
 
 @pytest.mark.parametrize("seed", [7, 31, 53, 89, 127, 163, 191, 233,
-                                  269, 293, 317])
+                                  269, 293, 317, 349, 373, 397, 421])
 def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Gaussian-YOLO training-math fuzz: yolo_point/IoU-mu/NLL quirk space
     vs the binary (gaussian_yolo_layer.cpp:195-358, 632-648)."""
@@ -405,7 +405,7 @@ def test_gaussian_train_delta_fuzz(harness, tmp_path, rng, seed):
 
 
 @pytest.mark.parametrize("seed", [13, 29, 43, 71, 97, 113, 149, 181,
-                                  199, 239, 271, 313])
+                                  199, 239, 271, 313, 337, 367, 433, 457])
 def test_random_graph_train_delta_fuzz(harness, tmp_path, rng, seed):
     """Random full graphs through ONE training datum vs the binary's
     TrainNetworkDatum: gates the train-mode forward (live BN, dilated /
