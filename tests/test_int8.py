@@ -362,3 +362,34 @@ def test_int8_serving_composes_with_mesh(tmp_path):
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[2]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_int8_export_serving_roundtrip(tmp_path):
+    """The TensorRT-engine analogue composes with the int8 path: a
+    quantized + statically-calibrated serving program exports through
+    jax.export and reproduces detect_batch_device without cfg/weights."""
+    import numpy as np
+
+    from darknet_tpu.nn.network import Network
+
+    cfg = ("[net]\nbatch=1\nsubdivisions=1\nwidth=32\nheight=32\n"
+           "channels=3\n"
+           "[convolutional]\nfilters=128\nsize=3\nstride=2\npad=1\n"
+           "activation=leaky\n"
+           "[convolutional]\nbatch_normalize=1\nfilters=128\nsize=3\n"
+           "stride=2\npad=1\nactivation=mish\n"
+           "[convolutional]\nfilters=20\nsize=1\nactivation=linear\n"
+           "[yolo]\nmask=0,1\nnum=2\nclasses=5\nanchors=10,14, 23,27\n")
+    net = Network.from_cfg(cfg, int8=True, seed=2)
+    assert any("w_q" in p for p in net.params)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    net.calibrate_int8(x)
+    d1 = net.detect_batch_device(x, thresh=0.1, top_k=16)
+    art = str(tmp_path / "s.bin")
+    net.export_serving(art, batch=2, thresh=0.1, top_k=16)
+    tb, ov, pr = Network.run_exported_serving(art, x)
+    d2 = Network.device_out_to_dets(tb, ov, pr)
+    assert [len(a) for a in d1] == [len(b) for b in d2]
+    for a, b in zip(d1[0], d2[0]):
+        np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-6)
