@@ -552,6 +552,10 @@ class Network:
                        train=self.train, compute_dtype=self.compute_dtype,
                        seen=self.seen)
         net2._cfg_text = cfg
+        # static int8 calibration is per-conv, resolution-independent —
+        # the baked scales already ride in params; carry the bookkeeping
+        # so save_calibration keeps working after a resize
+        net2._calib_absmax = self._calib_absmax
         return net2
 
     # ----------------------------------------------------------------- io

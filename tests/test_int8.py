@@ -393,3 +393,31 @@ def test_int8_export_serving_roundtrip(tmp_path):
     assert [len(a) for a in d1] == [len(b) for b in d2]
     for a, b in zip(d1[0], d2[0]):
         np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-6)
+
+
+def test_int8_calibration_survives_resize(tmp_path):
+    """Static scales are per-conv and resolution-independent: a resized
+    Network keeps the quantized params AND the calibration bookkeeping
+    (save_calibration after multi-scale resize must work)."""
+    import numpy as np
+
+    from darknet_tpu.nn.network import Network
+
+    cfg = ("[net]\nbatch=1\nsubdivisions=1\nwidth=32\nheight=32\n"
+           "channels=3\n"
+           "[convolutional]\nfilters=128\nsize=3\nstride=2\npad=1\n"
+           "activation=leaky\n"
+           "[convolutional]\nbatch_normalize=1\nfilters=128\nsize=3\n"
+           "stride=2\npad=1\nactivation=mish\n"
+           "[convolutional]\nfilters=20\nsize=1\nactivation=linear\n"
+           "[yolo]\nmask=0,1\nnum=2\nclasses=5\nanchors=10,14, 23,27\n")
+    net = Network.from_cfg(cfg, int8=True, seed=2)
+    rng = np.random.default_rng(0)
+    net.calibrate_int8(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    net2 = net.resize(64, 64)
+    assert any("w_q" in p for p in net2.params)
+    net2.save_calibration(str(tmp_path / "c.cache"))   # must not raise
+    d = net2.detect_batch_device(
+        rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32),
+        thresh=0.05, top_k=16)
+    assert len(d[0]) > 0
