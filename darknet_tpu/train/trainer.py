@@ -465,6 +465,9 @@ class DetectorTrainer:
             extra["chart_iters"] = np.asarray(self._chart["iters"], np.int64)
             extra["chart_losses"] = np.asarray(self._chart["losses"],
                                                np.float32)
+        if self._chart["map_iters"]:
+            # separate guard: orbax's sharded writer refuses zero-size
+            # arrays, and runs without mAP events have an empty history
             extra["chart_map_iters"] = np.asarray(self._chart["map_iters"],
                                                   np.int64)
             extra["chart_maps"] = np.asarray(self._chart["maps"], np.float32)
@@ -505,8 +508,9 @@ class DetectorTrainer:
             self._chart = {
                 "iters": [int(v) for v in extra["chart_iters"]],
                 "losses": [float(v) for v in extra["chart_losses"]],
-                "map_iters": [int(v) for v in extra["chart_map_iters"]],
-                "maps": [float(v) for v in extra["chart_maps"]],
+                "map_iters": [int(v) for v in
+                              extra.get("chart_map_iters", [])],
+                "maps": [float(v) for v in extra.get("chart_maps", [])],
             }
         if "dim_w" in extra:
             # restore the multi-scale bucket the saved run was training
