@@ -457,9 +457,9 @@ def mode_image(args):
                            "det_" + os.path.basename(path))
         cv2.imwrite(out, display)
         print(f"  saved {out}")
-        if _gui_ok():
-            cv2.imshow(args.mode, display)     # yolo_core.cpp:211-212
-            cv2.waitKey(0)
+        from darknet_tpu.apps import visualize as _viz
+
+        _viz.safe_imshow(args.mode, display, wait_ms=0)  # yolo_core.cpp:211
 
 
 def mode_video(args):
@@ -522,8 +522,8 @@ def mode_video(args):
                     (out_bgr.shape[1], out_bgr.shape[0]))
             writer.write(out_bgr)
         if gui:
-            cv2.imshow(args.mode, out_bgr)     # yolo_core.cpp:267-268
-            if cv2.waitKey(1) == 27:           # ESC
+            # yolo_core.cpp:267-268; ESC stops the stream
+            if viz.safe_imshow(args.mode, out_bgr) == 27:
                 stop_evt.set()
         curr += 1
 
@@ -637,10 +637,12 @@ def mode_multi_video(args):
                         (display.shape[1], display.shape[0]))
                 writers[i].write(display)
             if gui:
-                # one window per camera (yolo_core.cpp:378-379)
-                cv2.imshow(f"{args.mode}-{i}", display)
-        if gui and cv2.waitKey(1) == 27:       # ESC
-            stop = True
+                # one window per camera (yolo_core.cpp:378-379); ESC from
+                # any window stops all streams
+                from darknet_tpu.apps import visualize as _viz
+
+                if _viz.safe_imshow(f"{args.mode}-{i}", display) == 27:
+                    stop = True
         # cross-camera label handover between the first two cameras' zones
         if len(geos) >= 2 and geos[0].handovers and geos[1].handovers:
             Handover.crosstalk(geos[0].handovers[0], geos[1].handovers[0])
@@ -697,7 +699,10 @@ def main(argv=None):
         if args.mode == "train":
             mode_train(args)
         elif args.mode == "valid":
-            return mode_valid(args)
+            # do NOT return the mAP float: the console script wraps main
+            # in sys.exit(), and a non-int exit value means status 1 —
+            # every successful validation would "fail" in scripts
+            mode_valid(args)
         elif args.mode == "image":
             mode_image(args)
         elif args.mode == "video":

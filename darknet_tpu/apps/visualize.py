@@ -21,6 +21,9 @@ from darknet_tpu.apps.tracker import STATIONARY
 _FONT = 0 if cv2 is None else cv2.FONT_HERSHEY_COMPLEX_SMALL
 
 
+_gui_broken = False
+
+
 def gui_ok() -> bool:
     """Live windows like the reference (imshow + waitKey,
     yolo_core.cpp:211-212,267-268,378-379; the training chart window,
@@ -29,12 +32,32 @@ def gui_ok() -> bool:
     import os
     import sys
 
+    if cv2 is None or _gui_broken:
+        return False
     if os.environ.get("DARKNET_TPU_NO_GUI"):
         return False
     if sys.platform in ("darwin", "win32"):
         return True
     return bool(os.environ.get("DISPLAY")
                 or os.environ.get("WAYLAND_DISPLAY"))
+
+
+def safe_imshow(window: str, img_bgr, wait_ms: int = 1) -> int:
+    """imshow + waitKey that survives headless OpenCV builds
+    (opencv-python-headless raises 'The function is not implemented'
+    even with DISPLAY set): the first failure permanently disables the
+    GUI instead of aborting the run.  Returns the waitKey code, or -1
+    when the GUI is unavailable.  wait_ms=0 blocks for a key (the
+    reference's image-mode behavior, yolo_core.cpp:212)."""
+    global _gui_broken
+    if not gui_ok():
+        return -1
+    try:
+        cv2.imshow(window, img_bgr)
+        return cv2.waitKey(wait_ms)
+    except cv2.error:
+        _gui_broken = True
+        return -1
 
 
 def get_rand_color(idx: int) -> tuple:

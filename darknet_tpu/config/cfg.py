@@ -32,6 +32,9 @@ class Section:
     options: dict                   # key -> raw string value (first occurrence)
     line: int = 0                   # 1-based cfg line for diagnostics
     _used: set = dataclasses.field(default_factory=set, repr=False)
+    # 1-based cfg line per key, so UnusedOption diagnostics can point at
+    # the offending line instead of the section header
+    key_lines: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # -- typed lookups -----------------------------------------------------
     # The reference has loud (FindOptionInt: prints the default it used) and
@@ -91,7 +94,9 @@ def parse_cfg_text(text: str) -> list[Section]:
             raise ValueError(f"cfg line {line_num}: could not parse: {raw!r}")
         key, _, value = line.partition("=")
         # first occurrence wins (reference list scan order)
-        current.options.setdefault(key, value)
+        if key not in current.options:
+            current.options[key] = value
+            current.key_lines[key] = line_num
     return sections
 
 
@@ -119,4 +124,5 @@ def patch_cfg_dims(text: str, w: int, h: int) -> str:
 def iter_unused_warnings(sections: list[Section]) -> Iterator[str]:
     for s in sections:
         for key in s.unused():
-            yield f"Unused option in {s.type} (line {s.line}): {key}={s.options[key]}"
+            line = s.key_lines.get(key, s.line)
+            yield f"Unused option in {s.type} (line {line}): {key}={s.options[key]}"

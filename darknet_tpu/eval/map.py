@@ -96,10 +96,15 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
     """
     import concurrent.futures as cf
 
-    sweep = [float(iou_thresh)]
+    # thresholds to MATCH at: the headline iou_thresh plus the (deduped)
+    # sweep; map_by_iou/map_mean_iou report over exactly iou_thresholds
+    extra_ts: list = []
     if iou_thresholds is not None:
-        sweep += [float(t) for t in iou_thresholds
-                  if float(t) != float(iou_thresh)]
+        for t in iou_thresholds:
+            if float(t) not in extra_ts:
+                extra_ts.append(float(t))
+    sweep = [float(iou_thresh)] + [t for t in extra_ts
+                                   if t != float(iou_thresh)]
     val_boxes = {t: [] for t in sweep}      # t -> (prob, cid, matched, gt_idx)
     num_gt_class = np.zeros(classes, np.int64)
     num_gt = 0
@@ -180,12 +185,16 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
 
     res = _pr_from_valboxes(val_boxes[sweep[0]], num_gt_class, num_gt,
                             classes, pred_time, len(img_paths))
-    if len(sweep) > 1:
-        by_iou = {sweep[0]: res.map}
-        for t in sweep[1:]:
-            by_iou[t] = _pr_from_valboxes(
+    if extra_ts:
+        # the sweep mean covers exactly iou_thresholds — the headline
+        # iou_thresh contributes only if the caller included it (so
+        # map_mean_iou IS the COCO AP@[.5:.95] for COCO_IOUS regardless
+        # of the headline threshold)
+        by_iou = {}
+        for t in extra_ts:
+            by_iou[t] = (res.map if t == sweep[0] else _pr_from_valboxes(
                 val_boxes[t], num_gt_class, num_gt, classes,
-                pred_time, len(img_paths)).map
+                pred_time, len(img_paths)).map)
         res.map_by_iou = dict(sorted(by_iou.items()))
         res.map_mean_iou = float(np.mean(list(by_iou.values())))
     return res

@@ -80,6 +80,23 @@ def local_block(x, p, l):
     return y.reshape(b, l.out_h, l.out_w, l.n)
 
 
+
+def _aa_backref_needed(l, i, live) -> bool:
+    """True when layer i is a stride>1 antialiased layer that some later
+    layer back-references — the case where the reference exposes its
+    front-filled stride-1 buffer (ops/conv.antialias_backref_view)."""
+    return (bool(getattr(l, "antialiasing", 0)) and i in live
+            and (l.blur_stride_x > 1 or l.blur_stride_y > 1))
+
+
+def _aa_split(y, l):
+    """(blurred sequential tensor, stride-1 front-filled backref view)."""
+    from darknet_tpu.ops.conv import antialias_backref_view, antialias_blur
+
+    blur = antialias_blur(y, l)
+    return blur, antialias_backref_view(y, blur, l)
+
+
 def make_forward(graph, *, train: bool = False, compute_dtype=None,
                  fused_bn: bool = False, stem_s2d: bool | None = None,
                  pack_first_region: bool = False,
@@ -283,10 +300,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     # the reference's front-filled (h, w, c) buffer view
                     # (ops/conv.antialias_backref_view) while sequential
                     # flow gets the blurred tensor
-                    aa_backref = (getattr(l, "antialiasing", 0)
-                                  and i in live
-                                  and (l.blur_stride_x > 1
-                                       or l.blur_stride_y > 1))
+                    aa_backref = _aa_backref_needed(l, i, live)
                     if aa_backref:
                         l_eff = _dc.replace(l_eff, antialiasing=0)
                     if train and remat:
@@ -310,13 +324,7 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     if st is not None:
                         bn_stats[i] = st
                     if aa_backref:
-                        from darknet_tpu.ops.conv import (
-                            antialias_backref_view, antialias_blur)
-
-                        y_act = cur
-                        cur = antialias_blur(y_act, l)
-                        backref_views[i] = antialias_backref_view(
-                            y_act, cur, l)
+                        cur, backref_views[i] = _aa_split(cur, l)
                     if (train and train_act_dtype is not None
                             and i not in head_feed):
                         # reduced-precision interlayer tensor (vjp
@@ -341,19 +349,11 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     # also memcpy's only the blur output over the front
                     # (maxpool_layer.cpp:86-95); found live by fuzz seed 653
                     # (scale_channels from an antialiased maxpool)
-                    aa_backref = (getattr(l, "antialiasing", 0)
-                                  and i in live
-                                  and (l.blur_stride_x > 1
-                                       or l.blur_stride_y > 1))
-                    if aa_backref:
-                        from darknet_tpu.ops.conv import (
-                            antialias_backref_view, antialias_blur)
+                    if _aa_backref_needed(l, i, live):
                         from darknet_tpu.ops.pooling import maxpool
 
-                        y_pool = maxpool(cur, l, train=train)
-                        cur = antialias_blur(y_pool, l)
-                        backref_views[i] = antialias_backref_view(
-                            y_pool, cur, l)
+                        cur, backref_views[i] = _aa_split(
+                            maxpool(cur, l, train=train), l)
                     else:
                         cur = maxpool_block(cur, l, train=train)
                 elif k == "avgpool":

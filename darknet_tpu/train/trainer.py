@@ -430,9 +430,9 @@ class DetectorTrainer:
         """chart.png + live window (the reference draws per iteration with
         max_loss=5, detector.cpp:122-123,269-270; we render every 10th —
         a PNG encode per iteration would be ~10% of a fast step)."""
-        try:
-            from darknet_tpu.apps import visualize as viz
-        except Exception:
+        from darknet_tpu.apps import visualize as viz
+
+        if viz.cv2 is None:
             return                       # cv2-less environment: skip
         os.makedirs(self.save_dir, exist_ok=True)
         img = viz.draw_loss_chart(
@@ -440,11 +440,7 @@ class DetectorTrainer:
             self._chart["map_iters"], self._chart["maps"],
             max_iter=self.net.max_iter,
             path=os.path.join(self.save_dir, "chart.png"))
-        if viz.gui_ok():
-            import cv2
-
-            cv2.imshow("average loss", img[..., ::-1])
-            cv2.waitKey(1)
+        viz.safe_imshow("average loss", img[..., ::-1])
 
     def save_state(self, path: str | None = None) -> str:
         """Write the rolling full-state checkpoint (params + optimizer

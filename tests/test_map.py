@@ -256,3 +256,20 @@ def test_multi_iou_sweep(dataset):
     assert abs(vals[0] - 0.4) < 1e-9
     assert vals[-1] == 0.0
     assert abs(multi.map_mean_iou - np.mean(vals)) < 1e-12
+
+
+def test_multi_iou_mean_excludes_headline(dataset):
+    """map_mean_iou averages exactly iou_thresholds — a non-member
+    headline iou_thresh must not leak into the sweep mean; duplicates in
+    the sweep must not double-count."""
+    net = _StubNet(classes=2)
+    r = validate_detector(net, dataset, classes=2, batch=2, progress=False,
+                          iou_thresh=0.45, iou_thresholds=[0.75, 0.75, 0.9])
+    assert set(r.map_by_iou) == {0.75, 0.9}
+    assert abs(r.map_mean_iou
+               - np.mean([r.map_by_iou[0.75], r.map_by_iou[0.9]])) < 1e-12
+    # perfect-box stub: every threshold yields the same AP; a
+    # double-counted duplicate would reclassify TPs as FPs and change it
+    r2 = validate_detector(net, dataset, classes=2, batch=2, progress=False,
+                           iou_thresholds=[0.75])
+    assert r.map_by_iou[0.75] == r2.map_by_iou[0.75]
