@@ -26,9 +26,9 @@ def main() -> None:
     ap = base_parser(__doc__)
     ap.add_argument("--iters", type=int, default=300,
                     help="training iterations (measured on this data: "
-                         "~0.24 mAP at 300, ~0.34 at 800 — the full "
-                         "augmentation pipeline is on and the model is "
-                         "tiny; use 20 for a quick smoke)")
+                         "~0.24 mAP at 300, ~0.34 at 800, ~0.55 at the "
+                         "full 3000-iter max_epoch schedule; use 20 for "
+                         "a quick smoke)")
     ap.add_argument("--images", type=int, default=240,
                     help="synthetic training images to generate")
     args = ap.parse_args()
