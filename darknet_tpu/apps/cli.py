@@ -52,8 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize conv blocks in backward "
                         "(less memory, more FLOPs; for 608^2 training)")
     p.add_argument("-act16", "--act16", action="store_true",
-                   help="bf16 interlayer activations in training "
-                        "(halves vjp-residual HBM traffic; BN stats f32)")
+                   help="force bf16 interlayer activations in training "
+                        "(halves vjp-residual HBM traffic; BN stats f32). "
+                        "Default: auto (on for TPU — measured faster at "
+                        "every yolov4-608 config, NOTES.md round-4)")
+    p.add_argument("-no_act16", "--no_act16", action="store_true",
+                   help="force f32 interlayer activations in training")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
     p.add_argument("-int8", "--int8", action="store_true",
@@ -341,7 +345,7 @@ def mode_train(args):
         save_name=os.path.splitext(os.path.basename(args.model_file))[0],
         metrics_path=args.metrics_file or None,
         show_imgs=3 if args.show_imgs else 0, remat=args.remat,
-        act16=args.act16,
+        act16=True if args.act16 else (False if args.no_act16 else None),
         loader_processes=args.loader_processes, resume=args.resume)
     print(trainer.graph.layer_table(), file=sys.stderr)
     trainer.train()
@@ -620,11 +624,25 @@ def mode_multi_video(args):
 
     gui = _gui_ok()
     stop = False
+    max_frame = int(caps[0].get(cv2.CAP_PROP_FRAME_COUNT)) if caps else 0
 
-    def _tail(outs):
+    def _tail(outs, proc_ms):
         nonlocal curr, stop
+        from darknet_tpu.apps import visualize as _viz
+
         for i, (display, _dets) in enumerate(outs):
             geos[i].proc(tms[i].get_tracks())
+            # zone overlay per camera (yolo_core.cpp:351-352): polygons +
+            # parking occupancy HH:MM:SS; display frames are BGR here
+            geos[i].draw(display, bgr=True)
+            # proc time + frame counter (yolo_core.cpp:374-375 draws them
+            # on the concatenated display; we keep per-camera windows, so
+            # overlay on each) — text colors are symmetric white/red-in-
+            # channel-terms only for white; draw on an RGB view
+            rgb = cv2.cvtColor(display, cv2.COLOR_BGR2RGB)
+            _viz.draw_proc_time(rgb, proc_ms)
+            _viz.draw_frame_info(rgb, curr, max_frame)
+            display[:] = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
             if args.save_output:
                 if writers[i] is None:
                     os.makedirs(args.out_dir, exist_ok=True)
@@ -655,12 +673,17 @@ def mode_multi_video(args):
         pending = None
         while True:
             frames = None if stop else _read_set()
-            cur = ((frames, _submit_frames_batch(net, frames, args))
-                   if frames is not None else None)
+            t0 = time.perf_counter()
+            cur = None
+            if frames is not None:
+                cur = (frames, _submit_frames_batch(net, frames, args),
+                       time.perf_counter() - t0)
             if pending is not None:
-                pframes, psub = pending
-                _tail(_finalize_frames_batch(net, md, pframes, psub, args,
-                                             track_managers=tms))
+                pframes, psub, sub_dt = pending
+                t0 = time.perf_counter()
+                outs = _finalize_frames_batch(net, md, pframes, psub, args,
+                                              track_managers=tms)
+                _tail(outs, (sub_dt + time.perf_counter() - t0) * 1000)
             pending = cur
             if frames is None:
                 break
@@ -669,8 +692,10 @@ def mode_multi_video(args):
             frames = _read_set()
             if frames is None or stop:
                 break
-            _tail(_proc_frames_batch(net, md, frames, args,
-                                     track_managers=tms))
+            t0 = time.perf_counter()
+            outs = _proc_frames_batch(net, md, frames, args,
+                                      track_managers=tms)
+            _tail(outs, (time.perf_counter() - t0) * 1000)
     for cap in caps:
         cap.release()
     for wr in writers:

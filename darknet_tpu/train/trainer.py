@@ -44,7 +44,7 @@ class DetectorTrainer:
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, loader_processes=-1,
                  log=print, metrics_path=None, show_imgs=0, remat=False,
-                 act16=False, full_state=True, resume=False):
+                 act16=None, full_state=True, resume=False):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         # keep the cfg as TEXT so multi-scale rebuilds can patch dims
@@ -54,13 +54,27 @@ class DetectorTrainer:
         else:
             self.cfg = cfg
         self.mesh = mesh
+        # MXU compute precision: bf16 matmuls/convs with f32 accumulation
+        # on TPU (the production training precision every on-chip number
+        # in NOTES.md was measured at — f32 compute is ~2x slower);
+        # f32 elsewhere so the CPU golden gates stay byte-stable.
+        # Pass compute_dtype=jnp.float32 explicitly for full-precision
+        # training on TPU.
+        if compute_dtype is None and jax.default_backend() == "tpu":
+            compute_dtype = jnp.bfloat16
         self.compute_dtype = compute_dtype
         # rematerialize conv blocks in the backward pass (jax.checkpoint):
         # trades FLOPs for activation memory — the lever beyond
         # [net] subdivisions for 608^2 training on one chip
         self.remat = remat
         # reduced-precision interlayer activations (train_act_dtype):
-        # halves the vjp-residual HBM traffic; BN stats stay f32
+        # halves the vjp-residual HBM traffic; BN stats stay f32.
+        # Default auto = ON for TPU (measured faster at every yolov4-608
+        # config in the round-4 matrix: b8 no-remat 84.2->83.1 ms, b16
+        # remat 196.3->187.2, b16 no-remat 175.9->168.1 — NOTES.md),
+        # OFF elsewhere so CPU golden gates stay byte-stable.
+        if act16 is None:
+            act16 = jax.default_backend() == "tpu"
         self.act16 = act16
         self.log = log
         self.save_dir = save_dir
@@ -309,9 +323,15 @@ class DetectorTrainer:
                 dim_h_b, dim_w_b = dim_h, dim_w
 
             step = self._step_for(dim_w_b, dim_h_b)
-            lr = get_lr(net, self.curr_iter,
+            # LR is indexed by the POST-increment iteration: the reference
+            # bumps curr_iter before UpdateNetwork (network.cpp:227-232),
+            # so its first update sees iter=1 — with burn_in the 0-based
+            # index would make the first update lr=0 and shift the whole
+            # ramp by one (caught by the fixed-batch weight-trajectory
+            # gate, tests/test_reference_trainloop.py)
+            lr = get_lr(net, self.curr_iter + 1,
                         rand01=float(np.random.default_rng(
-                            self.curr_iter).uniform()))
+                            self.curr_iter + 1).uniform()))
             key, sub = jax.random.split(key)
             self._key = key
             args = (self.params, self.opt_state, jnp.asarray(x),

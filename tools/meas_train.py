@@ -58,3 +58,43 @@ if which in ("all", "b8"):
     run(8, False, label="b8 no-remat stem-on (fit check)")
 if which in ("all", "v416"):
     run(16, False, size=416, label="416 b16 no-remat stem-on")
+# round-4 follow-ups: no-remat fit boundary + act16 on no-remat configs
+if which in ("all2", "b8a"):
+    run(8, False, act=jnp.bfloat16, label="b8 no-remat act-bf16")
+if which in ("all2", "b16nr"):
+    run(16, False, act=jnp.bfloat16, label="b16 no-remat act-bf16 (fit check)")
+if which in ("all2", "b16nrf"):
+    run(16, False, label="b16 no-remat f32-act (fit check)")
+if which in ("all2", "b32"):
+    run(32, True, act=jnp.bfloat16, label="b32 remat act-bf16")
+
+# official training metric (VERDICT r3 #1): ONE JSON line for the
+# committed one-chip yolov4-608 recipe.  Keep in sync with the defaults
+# in train/trainer.py (compute bf16 on TPU) + the NOTES round-4 matrix.
+if which == "bench":
+    import json
+    g = _g(608)
+    batch, remat, act = 8, False, jnp.bfloat16
+    x = rng_np.uniform(0, 1, (batch, 608, 608, 3)).astype(np.float32)
+    tr = np.zeros((batch, 90, 5), np.float32); tr[:, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+    params = jax.device_put(paramlib.init_params(g, seed=0))
+    opt = jax.device_put(init_opt_state(g, params))
+    xd, td = jax.device_put(x), jax.device_put(tr)
+    step = make_train_step(g, compute_dtype=jnp.bfloat16, remat=remat,
+                           train_act_dtype=act)
+    params, opt, c, m = step(params, opt, xd, td, jax.random.PRNGKey(0), 1e-4)
+    float(c)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            params, opt, c, m = step(params, opt, xd, td,
+                                     jax.random.PRNGKey(1), 1e-4)
+        float(c)
+        best = min(best, (time.perf_counter() - t0) / 5)
+    print(json.dumps({
+        "metric": "yolov4-608 training images/sec/chip",
+        "train_608_img_s": round(batch / best, 1),
+        "ms_per_step": round(best * 1e3, 1),
+        "config": f"b{batch} remat={remat} act16={act is not None} "
+                  "stem_train=on compute=bf16"}))
