@@ -149,7 +149,10 @@ def draw_loss_chart(iters, avg_losses, map_iters=None, maps=None,
 
     def to_px(it, val, vmax):
         px = x0 + int((x1 - x0) * min(it / max(max_iter, 1), 1.0))
-        py = y0 - int((y0 - y1) * min(val / vmax, 1.0))
+        # a NaN/inf loss (diverged run) pins to the top of the chart
+        # instead of crashing the renderer mid-training
+        frac = min(val / vmax, 1.0) if np.isfinite(val) else 1.0
+        py = y0 - int((y0 - y1) * frac)
         return px, py
 
     pts = [to_px(i, v, max_loss) for i, v in zip(iters, avg_losses)]

@@ -22,6 +22,12 @@
 //        SaveWeights at the end; dumps the per-iteration loss curve.
 //        weights may be "-" for random init.  This is the oracle for the
 //        end-to-end train-A/B gate (tests/test_reference_trainloop.py).
+//   trainsteps:
+//     harness trainsteps cfg weights x.bin y.bin n_batches n_iters
+//                        out.weights costs.bin
+//     -> deterministic multi-step training on caller-provided batches
+//        (no loader/augmentation randomness): the weight-TRAJECTORY
+//        oracle (optimizer + BN rolling stats + burn-in integration).
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -203,6 +209,77 @@ static int mode_trainloop(int argc, char** argv)
   return 0;
 }
 
+static int mode_trainsteps(int argc, char** argv)
+{
+  // harness trainsteps cfg weights x.bin y.bin n_batches n_iters
+  //                    out.weights costs.bin
+  // -> LoadNetwork(train=1), then n_iters DETERMINISTIC training
+  //    iterations over caller-provided batches (iter i uses batch
+  //    i % n_batches), each mirroring TrainNetwork (network.cpp:210-239):
+  //    TrainNetworkDatum + curr_iter++ + UpdateNetwork.  The full
+  //    optimizer trajectory (momentum/decay/burn-in LR, BN rolling
+  //    stats) with NO loader/augmentation randomness — the oracle for
+  //    the multi-step weight-trajectory gates
+  //    (tests/test_reference_trainloop.py).  weights may be "-".
+  if (argc < 10) {
+    fprintf(stderr, "usage: harness trainsteps cfg weights x.bin y.bin "
+                    "n_batches n_iters out.weights costs.bin\n");
+    return 1;
+  }
+  char const* weights = strcmp(argv[3], "-") == 0 ? nullptr : argv[3];
+  int n_batches = atoi(argv[6]);
+  int n_iters = atoi(argv[7]);
+  Network net = {0};
+  if (!LoadNetwork(&net, argv[2], weights, true, true)) {
+    fprintf(stderr, "load failed\n");
+    return 2;
+  }
+  net.max_iter = n_iters;
+  int insz = net.batch * net.w * net.h * net.c;
+  int truths = 0;
+  for (int i = 0; i < net.n; i++)
+    if (net.layers[i].truths > truths) truths = net.layers[i].truths;
+  int tsz = net.batch * truths;
+  float* x = (float*)calloc((size_t)insz * n_batches, sizeof(float));
+  float* y = (float*)calloc((size_t)(tsz > 0 ? tsz : 1) * n_batches,
+                            sizeof(float));
+  FILE* fi = fopen(argv[4], "rb");
+  if (fread(x, sizeof(float), (size_t)insz * n_batches, fi) !=
+      (size_t)insz * n_batches) {
+    fprintf(stderr, "x.bin short read\n");
+    return 3;
+  }
+  fclose(fi);
+  fi = fopen(argv[5], "rb");
+  if (tsz > 0 && fread(y, sizeof(float), (size_t)tsz * n_batches, fi) !=
+      (size_t)tsz * n_batches) {
+    fprintf(stderr, "y.bin short read\n");
+    return 3;
+  }
+  fclose(fi);
+
+  std::vector<float> costs;
+  for (int it = 0; it < n_iters; it++) {
+    int b = it % n_batches;
+    net.curr_subdiv = 0;
+    float cost = TrainNetworkDatum(&net, x + (size_t)b * insz,
+                                   y + (size_t)b * tsz);
+    net.curr_iter++;
+    UpdateNetwork(&net);
+    costs.push_back(cost / (net.batch * net.subdiv));
+  }
+  SaveWeights(&net, argv[8]);
+  FILE* fo = fopen(argv[9], "wb");
+  int n = (int)costs.size();
+  fwrite(&n, sizeof(int), 1, fo);
+  fwrite(costs.data(), sizeof(float), n, fo);
+  fclose(fo);
+  fprintf(stderr, "ok trainsteps %d iters\n", n);
+  free(x);
+  free(y);
+  return 0;
+}
+
 static int mode_resize(int argc, char** argv)
 {
   // harness resize cfg weights new_w new_h in.bin out.bin [thresh] [nms]
@@ -258,6 +335,8 @@ int main(int argc, char** argv)
   if (argc > 1 && strcmp(argv[1], "valid") == 0) return mode_valid(argc, argv);
   if (argc > 1 && strcmp(argv[1], "trainloop") == 0)
     return mode_trainloop(argc, argv);
+  if (argc > 1 && strcmp(argv[1], "trainsteps") == 0)
+    return mode_trainsteps(argc, argv);
   if (argc > 1 && strcmp(argv[1], "resize") == 0)
     return mode_resize(argc, argv);
   return mode_predict(argc, argv);

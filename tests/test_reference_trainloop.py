@@ -325,3 +325,206 @@ def test_train_ab_vs_reference_gaussian(harness, tmp_path):
         (np.median(ref_losses[-50:]), np.median(ref_losses[:10]))
     assert np.median(our_losses[-50:]) < 0.2 * np.median(our_losses[:10]), \
         (np.median(our_losses[-50:]), np.median(our_losses[:10]))
+
+
+def test_trainsteps_weight_trajectory_gaussian(harness, tmp_path):
+    """DELTA-LEVEL multi-step trajectory pin for the Gaussian head
+    (VERDICT r3 #7, sharpening the wide mAP band above): both sides run
+    the SAME fixed batches from one init — the harness `trainsteps` mode
+    mirrors TrainNetwork exactly (TrainNetworkDatum + curr_iter++ +
+    UpdateNetwork, network.cpp:210-239) with NO loader/augmentation
+    randomness, ours runs make_train_step + get_lr — and the weight
+    trajectories must agree to numerical (not statistical) tolerance.
+
+    Calibration (f32, this cfg, seed 42): max_rel 8.2e-5 at N=5,
+    4.4e-2 at N=20 (chaotic growth amplifies op-order ulps beyond that:
+    2.3e-1 at N=50).  The N=5 gate is the sharp one — the trainer's
+    burn-in LR off-by-one (first update at iter=0 => lr=0 instead of
+    the reference's iter=1) showed up here as 6.3e-1 while every mAP
+    A/B passed."""
+    import jax
+    import jax.numpy as jnp
+
+    from darknet_tpu.graph.builder import build_graph
+    from darknet_tpu.nn.network import Network
+    from darknet_tpu.train.schedule import get_lr
+    from darknet_tpu.train.step import make_train_step, init_opt_state
+    from darknet_tpu.weights.io import load_weights
+
+    cfg_path = str(tmp_path / "g.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(GAUSSIAN_CFG)
+    g = build_graph(cfg_path, train=True)
+    B, H, W = g.net.batch, g.net.h, g.net.w
+    MB = max(l.max_boxes for l in g.layers if hasattr(l, "max_boxes"))
+
+    rng = np.random.default_rng(42)
+    N_BATCHES = 4
+    xs = rng.uniform(0, 1, (N_BATCHES, B, H, W, 3)).astype(np.float32)
+    ys = np.zeros((N_BATCHES, B, MB, 5), np.float32)
+    for nb in range(N_BATCHES):
+        for b in range(B):
+            for t in range(rng.integers(1, 4)):
+                w = float(rng.uniform(0.15, 0.5))
+                h = float(rng.uniform(0.15, 0.5))
+                ys[nb, b, t] = [rng.uniform(w / 2, 1 - w / 2),
+                                rng.uniform(h / 2, 1 - h / 2), w, h,
+                                rng.integers(0, 4)]
+
+    init_w = str(tmp_path / "init.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=7).save_weights(init_w)
+
+    # the harness reads BCHW-flat batches + (B, max_boxes*5) truths
+    np.ascontiguousarray(np.transpose(xs, (0, 1, 4, 2, 3))).astype(
+        "<f4").tofile(str(tmp_path / "x.bin"))
+    ys.reshape(N_BATCHES, B, MB * 5).astype("<f4").tofile(
+        str(tmp_path / "y.bin"))
+
+    params0, _, _ = load_weights(g, init_w)
+    step = make_train_step(g, compute_dtype=jnp.float32, donate=False)
+    params = jax.device_put(params0)
+    opt = init_opt_state(g, params)
+    HORIZONS = {5: 5e-3, 20: 0.5}
+    our_costs, snaps = [], {}
+    for i in range(max(HORIZONS)):
+        lr = get_lr(g.net, i + 1)   # post-increment iter like the trainer
+        params, opt, c, m = step(params, opt, jnp.asarray(xs[i % N_BATCHES]),
+                                 jnp.asarray(ys[i % N_BATCHES]),
+                                 jax.random.PRNGKey(0), jnp.float32(lr))
+        our_costs.append(float(m["loss"]))
+        if (i + 1) in HORIZONS:
+            snaps[i + 1] = jax.tree.map(np.asarray, params)
+
+    bn_layers = {i for i, l in enumerate(g.layers)
+                 if getattr(l, "batch_normalize", False)}
+    for N, tol in HORIZONS.items():
+        outw = str(tmp_path / f"ref_{N}.weights")
+        costs_bin = str(tmp_path / f"ref_{N}_costs.bin")
+        r = subprocess.run(
+            [harness, "trainsteps", cfg_path, init_w,
+             str(tmp_path / "x.bin"), str(tmp_path / "y.bin"),
+             str(N_BATCHES), str(N), outw, costs_bin],
+            capture_output=True, timeout=1800, cwd=BUILD_DIR)
+        assert r.returncode == 0, r.stderr[-500:]
+        with open(costs_bin, "rb") as f:
+            (n,) = struct.unpack("<i", f.read(4))
+            ref_costs = np.frombuffer(f.read(4 * n), dtype="<f4")
+        assert n == N
+        refp, _, _ = load_weights(g, outw)
+        worst, worst_name = 0.0, ""
+        for li, (rp, op) in enumerate(zip(refp, snaps[N])):
+            for k in rp:
+                if li in bn_layers and k == "b":
+                    continue    # DEVIATIONS #14: ref CPU never trains beta
+                a = np.asarray(rp[k], np.float64)
+                b = np.asarray(op[k], np.float64)
+                if a.size == 0:
+                    continue
+                rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-8)
+                if rel > worst:
+                    worst, worst_name = rel, f"L{li}.{k}"
+        print(f"[trajectory] N={N}: max_rel={worst:.3e} ({worst_name})")
+        assert worst < tol, (N, worst, worst_name)
+        # per-iteration cost curves agree tightly early (chaos-limited
+        # later): first iteration is pure forward parity
+        crel = np.abs(ref_costs - np.asarray(our_costs[:N])) / \
+            np.maximum(np.abs(ref_costs), 1e-6)
+        assert crel[0] < 1e-3, crel[0]
+
+    # the known deviation stays pinned: the reference CPU build leaves BN
+    # beta at zero (its GPU path trains it; we match GPU/upstream)
+    refp, _, _ = load_weights(g, str(tmp_path / "ref_20.weights"))
+    assert all(np.abs(np.asarray(refp[i]["b"])).max() == 0.0
+               for i in bn_layers)
+    assert any(np.abs(np.asarray(snaps[20][i]["b"])).max() > 0
+               for i in bn_layers)
+
+
+# 608 variant of the A/B cfg: same 4-conv detector at full yolov4 input
+# resolution with multi-scale training enabled on our side (random=1) —
+# anchors scale with the input (20/96 ≈ 127/608).  lr/burn_in retuned for
+# the 608 grid: at lr=2e-3/burn_in=20 BOTH sides explode to NaN right
+# after burn-in (ours at iter 23, the binary at iter 27 — measured
+# 2026-08-19; parity includes the instability), at 2e-4/burn_in=100 both
+# converge on every probe.
+CFG_608 = CFG.replace("width=96", "width=608") \
+             .replace("height=96", "height=608") \
+             .replace("anchors=20,20, 32,32, 42,30",
+                      "anchors=127,127, 203,203, 266,190") \
+             .replace("[yolo]", "[yolo]\nrandom=1") \
+             .replace("learning_rate=0.002", "learning_rate=0.0002") \
+             .replace("burn_in=20", "burn_in=100")
+
+
+def test_train_ab_608_multiscale_dp(harness, tmp_path):
+    """The end-to-end train A/B scaled toward the real thing (VERDICT r3
+    #3): 608 input, multi-scale ON (random=1: the trainer re-jits per
+    resolution bucket and resizes the loader, like detector.cpp:139-167),
+    in-training mAP cadence ON (calc_map), and our side trains DATA-
+    PARALLEL over the 8-device CPU mesh — the reference side trains
+    through its own full loop at fixed 608 (the harness trainloop has no
+    dim-switch; multi-scale nets must still beat it on the SAME fixed-608
+    valid judgment).  Both final weight files are judged by the binary's
+    own valid mode.
+
+    This composes, at full input scale, everything the 96px gates test
+    piecewise: augmentation geometry at 608, multi-scale bucket re-jit,
+    DP psum + sync-BN, mAP-during-training isolation, and checkpointing.
+    """
+    from darknet_tpu.parallel import make_mesh
+
+    N = 800
+    files = generate(str(tmp_path / "ds"), n_train=480, n_val=80,
+                     seed=2026, size_range=((384, 512), (288, 384)))
+    cfg_path = str(tmp_path / "m608.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(CFG_608)
+
+    from darknet_tpu.nn.network import Network
+
+    init_w = str(tmp_path / "init.weights")
+    Network.from_cfg(cfg_path, train=True, fuse=False,
+                     seed=7).save_weights(init_w)
+
+    # ---- our side: DP mesh + multi-scale + calc_map ----
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    tr = DetectorTrainer(
+        cfg_path, files["train_paths"], weights=init_w, classes=4,
+        save_dir=str(tmp_path / "backup"), save_name="ours",
+        loader_threads=4, seed=3, mesh=make_mesh(8),
+        calc_map=True, val_paths=files["val_paths"],
+        log=lambda *a: None)
+    tr.net.max_iter = max(tr.net.max_iter, N)
+    tr.train(max_iters=N)
+    our_w = tr.save(suffix="ab608")
+    our_map_self = tr.evaluate_map()
+    tr.loader.close()
+    assert tr._chart["maps"], "calc_map cadence never fired"
+
+    # ---- reference side: its own loop at fixed 608 ----
+    ref_w = str(tmp_path / "ref_final.weights")
+    ref_losses_bin = str(tmp_path / "ref_losses.bin")
+    r = subprocess.run(
+        [harness, "trainloop", cfg_path, init_w, files["train_list"],
+         str(N), ref_w, ref_losses_bin],
+        capture_output=True, timeout=7200, cwd=BUILD_DIR)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    ref_map = _ref_valid_map(harness, files["data"], cfg_path, ref_w,
+                             str(tmp_path / "ref_map.bin"))
+    our_map = _ref_valid_map(harness, files["data"], cfg_path, our_w,
+                             str(tmp_path / "our_map.bin"))
+    init_map = _ref_valid_map(harness, files["data"], cfg_path, init_w,
+                              str(tmp_path / "init_map.bin"))
+    print(f"\n[608 multi-scale dp] mAP@0.5 after {N} iters: "
+          f"ref={ref_map:.4f} ours={our_map:.4f} "
+          f"(self {our_map_self:.4f}) init={init_map:.4f}")
+
+    assert our_map > 0.10, our_map
+    assert ref_map > 0.10, ref_map
+    assert our_map > 10 * max(init_map, 1e-3)
+    assert abs(our_map - ref_map) < 0.20, (our_map, ref_map)
+    # our valid pipeline agrees with the binary on the same weights
+    assert abs(our_map_self - our_map) < 0.03, (our_map_self, our_map)
