@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Benchmark: YOLOv4 608x608 inference images/sec on one TPU chip.
 
-Default: int8 quantized serving config (pass --bf16 for the
-full-precision path); batch 256; fused-region kernels auto-enabled.
+Default: int8 quantized serving headline PLUS a bf16 full-precision
+measurement banked as "bf16_img_s" in the same JSON line (pass --bf16
+to make bf16 the headline, --headline-only to skip the second config);
+batch 256; fused-region kernels auto-enabled.
 Batch choice: the device program runs 33.6 ms per 32 images (953 img/s
 on-device, trace-measured) regardless of batch; larger serving batches
 amortize the per-dispatch host/tunnel overhead toward that ceiling
@@ -84,78 +86,99 @@ def main():
     # headline config = production low-precision serving (int8 weights +
     # dynamic activation quant, head convs full precision) — the same
     # precision class TensorRT deployments of yolov4 report; --bf16
-    # selects the full bf16/f32-epilogue parity path
-    int8 = "--bf16" not in sys.argv
+    # makes the full bf16/f32-epilogue parity path the headline instead.
+    # The DEFAULT run measures BOTH and banks the bf16 number in the same
+    # JSON line (VERDICT r3 #4: int8-only headlines hide a bf16 floor).
+    bf16_headline = "--bf16" in sys.argv
+    both = not bf16_headline and "--headline-only" not in sys.argv
     batch = int(args[0]) if args else 256
     size = 608
 
     graph = build_graph(model_zoo.yolov4_cfg(size, size))
-    params = paramlib.init_params(graph, seed=0)
-    params = paramlib.fuse_conv_batchnorm(graph, params)
-    if int8:
-        params = paramlib.quantize_conv_params(graph, params)
-        # static activation calibration (TensorRT-style): bakes per-conv
-        # input scales so serving skips the per-conv dynamic absmax reduce
-        # (+7.5% measured).  Ranges are resolution-robust, so probe at
-        # 320^2 where the extra probe program compiles quickly.
-        # NOTE: scales here are calibrated from synthetic noise on random
-        # weights — valid for TIMING only (same program/shapes as real
-        # calibration); int8 ACCURACY with real calibration is gated
-        # separately by tests/test_int8.py::test_int8_map_accuracy.
-        gcal = build_graph(model_zoo.yolov4_cfg(320, 320))
-        xcal = np.random.default_rng(7).uniform(
-            0, 1, (4, 320, 320, 3)).astype(np.float32)
-        absmax = paramlib.calibrate_conv_input_scales(
-            gcal, params, [xcal], compute_dtype=jnp.bfloat16)
-        # NOTE: region-covered front convs deliberately stay bf16
-        # (region_int8 off): the packed int8 region path is bit-exact but
-        # measured ~1% slower at b128 (NOTES.md round-3 A/B) — int8 dots
-        # are only ~1.11x bf16 on this stack and the front is layout-bound
-        params = paramlib.apply_conv_input_scales(params, absmax, graph=graph)
-    params = jax.device_put(params)
+    base_params = paramlib.init_params(graph, seed=0)
+    base_params = paramlib.fuse_conv_batchnorm(graph, base_params)
 
-    # the measured program IS the production serving path: the Network
-    # facade's fully-on-device postprocess (forward -> decode -> obj
-    # threshold -> top-k -> exact greedy NMS; only top_k candidates per
-    # image leave HBM — the reference pulls every head tensor to the host
-    # and NMS-es there, detector.cpp:384-387), with bf16 serving scores
-    net = Network(graph, params, fused=True, compute_dtype=jnp.bfloat16)
-    detect = net._device_detect_fn(batch, size, size, 0.25, 0.45, 256,
-                                   score_dtype=jnp.bfloat16)
+    def make_params(int8):
+        params = base_params
+        if int8:
+            params = paramlib.quantize_conv_params(graph, params)
+            # static activation calibration (TensorRT-style): bakes per-conv
+            # input scales so serving skips the per-conv dynamic absmax
+            # reduce (+7.5% measured).  Ranges are resolution-robust, so
+            # probe at 320^2 where the extra probe program compiles quickly.
+            # NOTE: scales here are calibrated from synthetic noise on random
+            # weights — valid for TIMING only (same program/shapes as real
+            # calibration); int8 ACCURACY with real calibration is gated
+            # separately by tests/test_int8.py::test_int8_map_accuracy.
+            gcal = build_graph(model_zoo.yolov4_cfg(320, 320))
+            xcal = np.random.default_rng(7).uniform(
+                0, 1, (4, 320, 320, 3)).astype(np.float32)
+            absmax = paramlib.calibrate_conv_input_scales(
+                gcal, params, [xcal], compute_dtype=jnp.bfloat16)
+            # NOTE: region-covered front convs deliberately stay bf16
+            # (region_int8 off): the packed int8 region path is bit-exact
+            # but measured ~1% slower at b128 (NOTES.md round-3 A/B) — int8
+            # dots are only ~1.11x bf16 on this stack and the front is
+            # layout-bound
+            params = paramlib.apply_conv_input_scales(
+                params, absmax, graph=graph)
+        return jax.device_put(params)
 
-    @jax.jit
-    def run(params, x):
-        tb, ov, probs = detect(params, x)
-        # scalar checksum: timing fetches ONE f32, forcing execution without
-        # paying a bulk device->host readback (block_until_ready does not
-        # actually block over the axon tunnel)
-        chk = jnp.sum(ov.astype(jnp.float32)) + jnp.sum(tb[..., 0])
-        return tb, ov, probs, chk
+    def make_run(params):
+        # the measured program IS the production serving path: the Network
+        # facade's fully-on-device postprocess (forward -> decode -> obj
+        # threshold -> top-k -> exact greedy NMS; only top_k candidates per
+        # image leave HBM — the reference pulls every head tensor to the
+        # host and NMS-es there, detector.cpp:384-387), bf16 serving scores
+        net = Network(graph, params, fused=True, compute_dtype=jnp.bfloat16)
+        detect = net._device_detect_fn(batch, size, size, 0.25, 0.45, 256,
+                                       score_dtype=jnp.bfloat16)
+
+        @jax.jit
+        def run(params, x):
+            tb, ov, probs = detect(params, x)
+            # scalar checksum: timing fetches ONE f32, forcing execution
+            # without a bulk device->host readback (block_until_ready does
+            # not actually block over the axon tunnel)
+            chk = jnp.sum(ov.astype(jnp.float32)) + jnp.sum(tb[..., 0])
+            return tb, ov, probs, chk
+
+        return run
+
+    def measure_rate(run, params, x, iters=12, series=3):
+        # best-of-N series: single-series numbers swing with transient
+        # tunnel and host effects; the max is the device's real capability
+        _ = float(run(params, x)[3])      # warmup/compile
+        rates = []
+        for _series in range(series):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = run(params, x)
+            _ = float(out[3])    # device queue is FIFO: awaits all iters
+            rates.append(batch * iters / (time.perf_counter() - t0))
+        return max(rates)
 
     x = np.random.default_rng(0).uniform(
         0, 1, (batch, size, size, 3)).astype(np.float32)
     x = jax.device_put(x)
 
-    # warmup/compile
-    _ = float(run(params, x)[3])
+    params = make_params(int8=not bf16_headline)
+    run = make_run(params)
+    img_s = measure_rate(run, params, x)
 
-    # best-of-3 series: single-series numbers swing with transient tunnel
-    # and host effects; the max is the device's actual capability
-    iters = 12
-    rates = []
-    for _series in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = run(params, x)
-        _ = float(out[3])        # device queue is FIFO: awaits all iters
-        rates.append(batch * iters / (time.perf_counter() - t0))
-    img_s = max(rates)
+    bf16_img_s = None
+    if both:
+        params_bf16 = make_params(int8=False)
+        run_bf16 = make_run(params_bf16)
+        bf16_img_s = measure_rate(run_bf16, params_bf16, x)
+        del params_bf16
 
-    # BASELINE metric 3: p50 per-frame latency, batch=1 streaming.
-    # Synchronous per-frame fetch: includes the host<->device transport
-    # (over the axon dev tunnel that is RTT-dominated, ~30ms; production
-    # serving would see the device time, also reported amortized).
-    x1 = jax.device_put(x[:1])
+    # BASELINE metric 3: p50 per-frame latency, batch=1 streaming, on the
+    # headline config.  Synchronous per-frame fetch: includes the
+    # host<->device transport (over the axon dev tunnel that is
+    # RTT-dominated, ~30ms; production serving would see the device time,
+    # also reported amortized).
+    x1 = jax.device_put(np.asarray(x[:1]))
     _ = float(run(params, x1)[3])         # compile batch-1 executable
     lat = []
     for _ in range(30):
@@ -169,16 +192,20 @@ def main():
     _ = float(out[3])
     b1_amortized = (time.perf_counter() - t0) / 30 * 1000
 
-    print(json.dumps({
+    line = {
         "metric": "yolov4-608 images/sec/chip "
-                  + ("(int8" if int8 else "(bf16")
+                  + ("(bf16" if bf16_headline else "(int8")
                   + " serving: on-device decode+top-k+NMS)",
         "value": round(img_s, 2),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
         "p50_latency_ms_batch1_sync": round(p50, 2),
         "batch1_ms_amortized": round(b1_amortized, 2),
-    }))
+    }
+    if bf16_img_s is not None:
+        line["bf16_img_s"] = round(bf16_img_s, 2)
+        line["bf16_vs_baseline"] = round(bf16_img_s / BASELINE_IMG_S, 4)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
