@@ -73,6 +73,33 @@ class PolyInfo:
     def proc(self, tracks):  # pragma: no cover - overridden
         pass
 
+    def draw(self, img, msg: str | None = None, bgr: bool = False):
+        """Scale + draw the zone polygon with a centered message
+        (PolyInfo::Draw, geo_info.cpp:132-166): closed red polyline,
+        message (default: the zone name) centered at the polygon
+        centroid, white halo under red text.  ``img`` is RGB HxWx3
+        (the visualize module's convention); pass ``bgr=True`` for
+        OpenCV-native BGR frames."""
+        import cv2
+        import numpy as np
+
+        h, w = img.shape[:2]
+        scaled = np.array([(int(x * w + 0.5), int(y * h + 0.5))
+                           for x, y in self.poly], np.int32)
+        red = (0, 0, 255) if bgr else (255, 0, 0)
+        white = (255, 255, 255)
+        font, font_sz = cv2.FONT_HERSHEY_COMPLEX_SMALL, 0.7
+        cv2.polylines(img, [scaled], True, red)
+        if msg is None:
+            msg = self.name
+        cx = sum(p[0] for p in self.poly) * w / len(self.poly)
+        cy = sum(p[1] for p in self.poly) * h / len(self.poly)
+        (tw, th), _ = cv2.getTextSize(msg, font, font_sz, 1)
+        org = (int(cx - tw / 2), int(cy + th / 2))
+        cv2.putText(img, msg, org, font, font_sz, white, 3, cv2.LINE_AA)
+        cv2.putText(img, msg, org, font, font_sz, red, 1, cv2.LINE_AA)
+        return img
+
 
 @dataclasses.dataclass
 class Occupation:
@@ -110,6 +137,17 @@ class ParkingLot(PolyInfo):
         if self.curr_occ.start == 0:
             return 0.0
         return time.time() - self.curr_occ.start
+
+    def draw(self, img, msg: str | None = None, bgr: bool = False):
+        """ParkingLot::Draw (geo_info.cpp:244-260): the message is the
+        elapsed occupancy time as HH:MM:SS while occupied, else empty."""
+        if msg is None:
+            msg = ""
+            if self.curr_occ.start != 0:
+                diff = int(time.time() - self.curr_occ.start)
+                msg = f"{diff // 3600:02d}:{diff // 60 % 60:02d}:" \
+                      f"{diff % 60:02d}"
+        return super().draw(img, msg, bgr=bgr)
 
 
 class Handover(PolyInfo):
@@ -187,3 +225,12 @@ class GeoInfo:
             p.proc(tracks)
         for hd in self.handovers:
             hd.proc(tracks)
+
+    def draw(self, img, bgr: bool = False):
+        """GeoInfo::Draw (geo_info.cpp:342-353): render every zone's
+        polygon + status text onto the frame."""
+        for p in self.parking_lots:
+            p.draw(img, bgr=bgr)
+        for hd in self.handovers:
+            hd.draw(img, bgr=bgr)
+        return img

@@ -109,6 +109,43 @@ def test_handover_crosstalk():
     assert t2.enter_status and t1.exit_status
 
 
+def test_geo_draw_overlay():
+    """GeoInfo.Draw parity (geo_info.cpp:132-166,244-260,342-353):
+    polygon outline lands at the scaled vertex locations, ParkingLot
+    renders an HH:MM:SS occupancy message while occupied, Handover
+    renders its zone name."""
+    import time as _time
+
+    poly = [(0.25, 0.25), (0.75, 0.25), (0.75, 0.75), (0.25, 0.75)]
+    geo = GeoInfo()
+    geo.parking_lots.append(ParkingLot("P1", poly))
+    geo.handovers.append(Handover("HANDOVER", poly, fps=3))
+
+    img = np.zeros((200, 400, 3), np.uint8)
+    geo.draw(img)
+    assert img.sum() > 0
+    # red (RGB) polyline passes through the scaled top edge midpoint
+    edge = img[50, 150:250]
+    assert (edge[:, 0] == 255).any() and not (edge[:, 2] == 255).all()
+
+    # occupied lot: message becomes elapsed HH:MM:SS — text pixels (with a
+    # white halo) appear near the centroid, unlike the empty-message case
+    before = np.zeros((200, 400, 3), np.uint8)
+    geo.parking_lots[0].draw(before)          # unoccupied: empty message
+    geo.parking_lots[0].curr_occ.start = _time.time() - 3661  # 01:01:01
+    after = np.zeros((200, 400, 3), np.uint8)
+    geo.parking_lots[0].draw(after)
+    center_region = (slice(80, 120), slice(150, 250))
+    assert after[center_region].sum() > before[center_region].sum()
+    # white halo pixels prove text (polylines only draw pure red)
+    assert (after[center_region] == 255).all(axis=-1).any()
+
+    # BGR mode puts the polyline red in channel 2
+    bgr = np.zeros((200, 400, 3), np.uint8)
+    geo.draw(bgr, bgr=True)
+    assert (bgr[50, 150:250, 2] == 255).any()
+
+
 def test_visualize_draws(tmp_path):
     from darknet_tpu.apps import visualize as viz
 

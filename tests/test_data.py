@@ -208,3 +208,48 @@ def test_loader_worker_import_chain_is_jax_free():
     if verdict == "preloaded":
         pytest.skip("host sitecustomize preloads jax in every process")
     assert verdict == "clean", "darknet_tpu.data.loader import pulled in jax"
+
+
+def test_loader_sustains_chip_train_rate(tmp_path):
+    """Input-pipeline feed-rate gate (VERDICT r3 #2; mirrors the
+    reference's 6-loader-threads-per-GPU floor, data.cpp:752-774).
+
+    Measures the REAL DetectionLoader at 608 full augmentation
+    (mosaic, i.e. 4 decodes + 4 aug passes per sample) on ONE core,
+    then asserts a production TPU host — v5e hosts expose ~100 vCPUs;
+    we budget at most 16 loader workers per chip — can sustain the
+    banked one-chip yolov4-608 training rate.  The per-sample cost
+    scales linearly over process workers (bit-identical batches,
+    spawn pool); this box may have too few cores to demonstrate the
+    scaled rate directly, so the gate is per-core cost x worker
+    budget, which also catches any sample-cost regression."""
+    import math
+    import time
+
+    from darknet_tpu.data.synth import generate
+
+    # banked one-chip train rate: NOTES.md round-4 matrix (b8 no-remat
+    # act16 = 96.3 img/s).  Bump when the training bench improves.
+    CHIP_IMG_S = 96.3
+    WORKER_BUDGET = 16
+
+    files = generate(str(tmp_path / "ds"), n_train=48, n_val=1, seed=99,
+                     size_range=((480, 640), (360, 480)))
+    loader = DetectionLoader(files["train_paths"], w=608, h=608, batch=4,
+                             threads=1, mixup=3, seed=5)
+    try:
+        loader.next()                       # warm: decoder caches, buffers
+        t0 = time.perf_counter()
+        n_batches = 6
+        for _ in range(n_batches):
+            loader.next()
+        dt = time.perf_counter() - t0
+    finally:
+        loader.close()
+    per_core_img_s = n_batches * 4 / dt
+    needed = math.ceil(CHIP_IMG_S / per_core_img_s)
+    print(f"\nloader 608 mosaic: {per_core_img_s:.1f} img/s/core -> "
+          f"{needed} workers to sustain {CHIP_IMG_S} img/s")
+    assert needed <= WORKER_BUDGET, (
+        f"608 mosaic sample cost regressed: {per_core_img_s:.1f} img/s/core "
+        f"needs {needed} workers > budget {WORKER_BUDGET}")
