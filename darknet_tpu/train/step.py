@@ -148,7 +148,8 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
 
         deltas, costs, metrics_list = [], [], []
         for hi, (raw, l) in enumerate(zip(raw_heads, heads)):
-            d, c, m = head_delta(raw, truths, l, net, rng, hi)
+            with jax.named_scope(f"head_delta_{hi}"):
+                d, c, m = head_delta(raw, truths, l, net, rng, hi)
             deltas.append(d.astype(raw.dtype) * loss_scale)
             costs.append(c)
             metrics_list.append(m)
@@ -207,15 +208,19 @@ def make_train_step(graph, *, compute_dtype=None, use_adam: bool | None = None,
             bn_stats = {i: (0.9, (0.1 * mv[0], 0.1 * mv[1]))
                         for i, mv in stats.items()}
 
-        if use_adam:
-            params, opt_state = opt.adam_update(
-                graph, params, grads, opt_state, lr=lr, B1=net.B1, B2=net.B2,
-                eps=net.eps, decay=net.decay, batch=net.optimizer_batch)
-        else:
-            params, opt_state = opt.sgd_update(
-                graph, params, grads, opt_state, lr=lr,
-                momentum=net.momentum, decay=net.decay,
-                batch=net.optimizer_batch)
+        # named so trace_report can attribute optimizer time (it would
+        # otherwise land in "(other)")
+        with jax.named_scope("optimizer_update"):
+            if use_adam:
+                params, opt_state = opt.adam_update(
+                    graph, params, grads, opt_state, lr=lr, B1=net.B1,
+                    B2=net.B2, eps=net.eps, decay=net.decay,
+                    batch=net.optimizer_batch)
+            else:
+                params, opt_state = opt.sgd_update(
+                    graph, params, grads, opt_state, lr=lr,
+                    momentum=net.momentum, decay=net.decay,
+                    batch=net.optimizer_batch)
 
         # rolling BN statistics (0.9/0.1 per micro-batch forward,
         # batchnorm_layer.cpp:221-224) — pre-folded into (keep, contrib)

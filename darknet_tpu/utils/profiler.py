@@ -42,6 +42,10 @@ def _hlo_op_scopes(compiled_text: str) -> dict:
             compiled_text):
         op, op_name = m.group(1), m.group(2)
         s = re.search(r"(L\d{3}(?:-\d{3})?_[\w]+)", op_name)
+        if s is None:
+            # non-layer scopes from the train step: optimizer_update /
+            # head_delta_N (train/step.py) — keeps "(other)" honest
+            s = re.search(r"((?:optimizer_update|head_delta_\d+))", op_name)
         scopes[op] = s.group(1) if s else None
     return scopes
 
