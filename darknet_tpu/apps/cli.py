@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "every yolov4-608 config, NOTES.md round-4)")
     p.add_argument("-no_act16", "--no_act16", action="store_true",
                    help="force f32 interlayer activations in training")
+    p.add_argument("-metric_lag", "--metric_lag", type=int, default=-1,
+                   help="iterations to keep in flight before fetching a "
+                        "step's loss/metrics (async metrics pipeline; "
+                        "0 = block every iteration like the reference). "
+                        "Default: auto (3 on TPU, 0 elsewhere)")
     p.add_argument("-benchmark_layers", "--benchmark_layers", type=int,
                    default=0)
     p.add_argument("-int8", "--int8", action="store_true",
@@ -346,7 +351,8 @@ def mode_train(args):
         metrics_path=args.metrics_file or None,
         show_imgs=3 if args.show_imgs else 0, remat=args.remat,
         act16=True if args.act16 else (False if args.no_act16 else None),
-        loader_processes=args.loader_processes, resume=args.resume)
+        loader_processes=args.loader_processes, resume=args.resume,
+        metric_lag=None if args.metric_lag < 0 else args.metric_lag)
     print(trainer.graph.layer_table(), file=sys.stderr)
     trainer.train()
 

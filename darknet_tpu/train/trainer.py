@@ -44,7 +44,8 @@ class DetectorTrainer:
                  calc_map=False, val_paths=None, save_dir="backup",
                  save_name="model", loader_threads=6, loader_processes=-1,
                  log=print, metrics_path=None, show_imgs=0, remat=False,
-                 act16=None, full_state=True, resume=False):
+                 act16=None, full_state=True, resume=False,
+                 metric_lag=None):
         self.graph = build_graph(cfg, train=True)
         self.net = self.graph.net
         # keep the cfg as TEXT so multi-scale rebuilds can patch dims
@@ -76,6 +77,20 @@ class DetectorTrainer:
         if act16 is None:
             act16 = jax.default_backend() == "tpu"
         self.act16 = act16
+        # async metrics pipeline: fetch iteration i's (loss, count, ...)
+        # floats only once i+metric_lag has been DISPATCHED, keeping
+        # `metric_lag` steps in flight instead of blocking on the device
+        # (and, over a remote-TPU tunnel, paying a full RTT) every
+        # iteration.  Training math is untouched — LR, multi-scale
+        # cadence, mAP cadence and checkpoints are all iteration-keyed,
+        # and the queue is fully drained before any evaluate/save/resume
+        # boundary — only the log line for iter i prints `metric_lag`
+        # iterations later (the reference prints synchronously,
+        # detector.cpp:255-266; deviation is display latency only).
+        # Auto: 3 on TPU, 0 elsewhere (CPU gates keep byte-stable logs).
+        if metric_lag is None:
+            metric_lag = 3 if jax.default_backend() == "tpu" else 0
+        self.metric_lag = max(int(metric_lag), 0)
         self.log = log
         self.save_dir = save_dir
         self.save_name = save_name
@@ -268,6 +283,45 @@ class DetectorTrainer:
         dim_w, dim_h = self._dims if self._dims else (net.w, net.h)
         key = self._key
 
+        # async metrics pipeline (see __init__): entries are
+        # (it, lr, dim_w, dim_h, dt, device_metrics); drained
+        # `metric_lag` iterations behind dispatch, fully drained before
+        # any evaluate/save/preemption boundary.
+        from collections import deque
+
+        pending = deque()
+        t_prev = None
+
+        def _drain_one():
+            nonlocal avg_loss, avg_time
+            p_it, p_lr, p_w, p_h, p_dt, m = pending.popleft()
+            loss = float(m["loss"])
+            avg_loss = loss if avg_loss < 0 else avg_loss * 0.9 + loss * 0.1
+            self._avg_loss = avg_loss
+            # hours-left estimate, EMA alpha=0.01 like the reference
+            # (detector.cpp:130,255-266)
+            remaining = (net.max_iter - p_it) * p_dt / 3600.0
+            avg_time = remaining if avg_time < 0 else \
+                0.01 * remaining + 0.99 * avg_time
+            self.log(f"[{p_it:04d}] loss: {loss:.2f}, avg loss: "
+                     f"{avg_loss:.2f}, lr: {p_lr:.2e}, images: "
+                     f"{p_it * net.optimizer_batch}, {avg_time:.2f} hours "
+                     f"left ({p_dt:.2f}s/iter)")
+            self.metrics.step(
+                p_it, loss=loss, avg_loss=avg_loss, lr=p_lr,
+                imgs_per_sec=net.optimizer_batch / max(p_dt, 1e-9),
+                count=int(m["count"]),
+                class_loss=float(m["class_loss"]),
+                dims=[p_w, p_h])
+            self._chart["iters"].append(p_it)
+            self._chart["losses"].append(avg_loss)
+            if p_it % 10 == 0 or p_it >= end_iter:
+                self._render_chart()
+
+        def _drain_all():
+            while pending:
+                _drain_one()
+
         # graceful preemption: SIGTERM/SIGINT finish the current
         # iteration, save the full resumable state, then return — on
         # preemptible TPU pods this turns an eviction into an exact
@@ -309,6 +363,8 @@ class DetectorTrainer:
             # hit the same boundaries the uninterrupted run did; between
             # boundaries the restored `_dims` bucket carries over)
             if self.random_coef and self.curr_iter % 10 == 0:
+                # avg_loss may lag by metric_lag iterations here; its only
+                # use in _pick_dims is the `< 0` first-iterations guard
                 dim_w, dim_h = self._pick_dims(avg_loss)
                 self._dims = (dim_w, dim_h)
                 self.loader.resize(dim_w, dim_h)
@@ -346,33 +402,20 @@ class DetectorTrainer:
             self.params, self.opt_state, cost, metrics = step(*args)
 
             self.seen += net.optimizer_batch
-            loss = float(metrics["loss"])
-            avg_loss = loss if avg_loss < 0 else avg_loss * 0.9 + loss * 0.1
-            self._avg_loss = avg_loss
             it = self.curr_iter
-            dt = time.perf_counter() - t0
-            # hours-left estimate, EMA alpha=0.01 like the reference
-            # (detector.cpp:130,255-266)
-            remaining = (net.max_iter - it) * dt / 3600.0
-            avg_time = remaining if avg_time < 0 else \
-                0.01 * remaining + 0.99 * avg_time
-            self.log(f"[{it:04d}] loss: {loss:.2f}, avg loss: "
-                     f"{avg_loss:.2f}, lr: {lr:.2e}, images: "
-                     f"{it * net.optimizer_batch}, {avg_time:.2f} hours "
-                     f"left ({dt:.2f}s/iter)")
-            self.metrics.step(
-                it, loss=loss, avg_loss=avg_loss, lr=lr,
-                imgs_per_sec=net.optimizer_batch / max(dt, 1e-9),
-                count=int(metrics["count"]),
-                class_loss=float(metrics["class_loss"]),
-                dims=[dim_w_b, dim_h_b])
-            self._chart["iters"].append(it)
-            self._chart["losses"].append(avg_loss)
-            if it % 10 == 0 or it >= end_iter:
-                self._render_chart()
+            now = time.perf_counter()
+            # per-iter wall: interval between consecutive dispatches once
+            # the pipe is full (== blocking per-iter time at lag 0, minus
+            # the fetch itself); first iteration falls back to loop time
+            dt = now - (t_prev if t_prev is not None else t0)
+            t_prev = now
+            pending.append((it, lr, dim_w_b, dim_h_b, dt, metrics))
+            while len(pending) > self.metric_lag:
+                _drain_one()
 
             if self.calc_map and self.val_paths and \
                     (it >= iter_map or it == net.max_iter):
+                _drain_all()
                 m = self.evaluate_map()
                 self.log(f"mAP@0.5 = {m * 100:.2f}%")
                 self.metrics.map_event(it, m)
@@ -389,10 +432,12 @@ class DetectorTrainer:
 
             if it >= iter_save + 1000 or it % 1000 == 0:
                 iter_save = it
+                _drain_all()       # _avg_loss must be current in the state
                 self.save(suffix=str(it))
                 if self.full_state:
                     self.save_state()
 
+        _drain_all()
         for sig, h in prev_handlers.items():
             import signal as _signal
 

@@ -481,3 +481,51 @@ anchors=20,20, 30,30, 40,40
     assert x.shape[0] == 4           # full optimizer batch per iter
     tr.train(max_iters=3)
     assert tr.seen == 12
+
+
+def test_metric_lag_bit_exact_and_complete(tmp_path, rng):
+    """Async metrics pipeline (trainer.py metric_lag): deferring the
+    loss/metrics fetch by N iterations must not change training math —
+    final weights bit-identical to the blocking (lag 0) run — and every
+    iteration must still be logged exactly once, in order."""
+    import cv2
+    import os
+
+    ds = tmp_path / "lag"
+    os.makedirs(ds)
+    paths = []
+    for i in range(4):
+        img = np.full((80, 80, 3), 70, np.uint8)
+        cv2.rectangle(img, (20, 20), (60, 60), (180, 90, 30), -1)
+        p = str(ds / f"l{i}.jpg")
+        cv2.imwrite(p, img)
+        open(str(ds / f"l{i}.txt"), "w").write("0 0.5 0.5 0.5 0.5\n")
+        paths.append(p)
+
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    cfg = CFG.replace("[net]", "[net]\nmax_epoch=100")
+
+    def run(lag):
+        logs = []
+        tr = DetectorTrainer(
+            cfg, paths, classes=1, loader_threads=1, loader_processes=0,
+            save_dir=str(tmp_path / f"bk{lag}"), save_name="lag",
+            log=logs.append, metric_lag=lag)
+        tr.train(max_iters=7)
+        return tr, [l for l in logs if l.startswith("[")]
+
+    tr0, logs0 = run(0)
+    tr3, logs3 = run(3)
+    iters0 = [l.split("]")[0] for l in logs0]
+    iters3 = [l.split("]")[0] for l in logs3]
+    assert iters0 == iters3 and len(iters0) == 7
+    # loss/avg-loss content identical (only the print TIMING differs);
+    # strip the wall-time dependent tail
+    strip = lambda ls: [l.split(", images:")[0] for l in ls]
+    assert strip(logs0) == strip(logs3)
+    for p0, p3 in zip(tr0.params, tr3.params):
+        assert set(p0) == set(p3)
+        for k in p0:
+            np.testing.assert_array_equal(np.asarray(p0[k]),
+                                          np.asarray(p3[k]))
