@@ -72,7 +72,7 @@ class DetectionLoader:
                  jitter=0.3, hue=0.1, saturation=1.5, exposure=1.5,
                  flip=True, blur=0, gaussian_noise=0, mixup=0,
                  threads=6, processes=0, seed=0, show_imgs=0,
-                 show_imgs_dir="."):
+                 show_imgs_dir=".", out_dtype=None):
         # cutmix: the reference refuses it for detection training
         # (data.cpp:428-432 prints and exits); mosaic+cutmix degrades to
         # plain mosaic with a warning
@@ -96,6 +96,14 @@ class DetectionLoader:
         self.batch = batch
         self.boxes = boxes
         self.classes = classes
+        # out_dtype (e.g. ml_dtypes.bfloat16): emit image batches pre-cast
+        # in the assembler thread (overlapped with device compute) so the
+        # host->device ship is half-width.  Bit-identical to uploading f32
+        # when the consuming step computes in the same dtype: every conv
+        # entry casts its input to compute_dtype anyway (ops/conv.py:43,
+        # ops/stem.py:125,186).  Augmentation/mosaic math stays f32; only
+        # the finished batch is cast.  Truths stay f32 (tiny).
+        self.out_dtype = out_dtype
         self.aug = dict(jitter=jitter, hue=hue, saturation=saturation,
                         exposure=exposure, use_flip=flip, use_blur=blur,
                         use_gaussian_noise=gaussian_noise)
@@ -211,6 +219,8 @@ class DetectionLoader:
                     x[i], y[i],
                     os.path.join(self.show_imgs_dir,
                                  f"aug_{self._show_counter:05d}.jpg"))
+        if self.out_dtype is not None:
+            x = x.astype(self.out_dtype)
         return x, y
 
     # ------------------------------------------------------------------

@@ -529,3 +529,64 @@ def test_metric_lag_bit_exact_and_complete(tmp_path, rng):
         for k in p0:
             np.testing.assert_array_equal(np.asarray(p0[k]),
                                           np.asarray(p3[k]))
+
+
+def test_bf16_upload_bit_exact(setup, rng):
+    """Half-width batch uploads (loader out_dtype=bfloat16): a host-side
+    f32->bf16 pre-cast of the image batch must be bit-identical to
+    uploading f32 when the step computes in bf16 — the conv entry casts
+    its input to compute_dtype either way (ops/conv.py:43)."""
+    import ml_dtypes
+
+    g, params = setup
+    opt = init_opt_state(g, params)
+    step = make_train_step(g, compute_dtype=jnp.bfloat16, donate=False)
+    x = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    t = np.zeros((2, 90, 5), np.float32)
+    t[:, 0] = [0.4, 0.4, 0.3, 0.3, 1]
+    key = jax.random.PRNGKey(3)
+    p1, o1, c1, _ = step(params, opt, jnp.asarray(x), jnp.asarray(t),
+                         key, 1e-3)
+    p2, o2, c2, _ = step(params, opt,
+                         jnp.asarray(x.astype(ml_dtypes.bfloat16)),
+                         jnp.asarray(t), key, 1e-3)
+    assert float(c1) == float(c2)
+    for a, b in zip(jax.tree_util.tree_leaves((p1, o1)),
+                    jax.tree_util.tree_leaves((p2, o2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_out_dtype_and_trainer_auto(tmp_path):
+    """DetectionLoader(out_dtype=...) emits pre-cast batches; the trainer
+    auto-selects bf16 uploads only for bf16-compute conv-first graphs."""
+    import cv2
+    import ml_dtypes
+    import os
+
+    ds = tmp_path / "od"
+    os.makedirs(ds)
+    img = np.full((64, 64, 3), 90, np.uint8)
+    cv2.imwrite(str(ds / "a.jpg"), img)
+    open(str(ds / "a.txt"), "w").write("0 0.5 0.5 0.5 0.5\n")
+
+    from darknet_tpu.data.loader import DetectionLoader
+
+    ld = DetectionLoader([str(ds / "a.jpg")], w=32, h=32, batch=2,
+                         classes=1, threads=1, processes=0, seed=0,
+                         out_dtype=ml_dtypes.bfloat16)
+    x, y = ld.next()
+    ld.close()
+    assert x.dtype == ml_dtypes.bfloat16 and y.dtype == np.float32
+
+    from darknet_tpu.train.trainer import DetectorTrainer
+
+    tr = DetectorTrainer(CFG, [str(ds / "a.jpg")], classes=3,
+                         loader_threads=1, loader_processes=0,
+                         save_dir=str(tmp_path / "bk"), save_name="od")
+    # CPU default compute is f32 -> loader stays f32 (golden gates
+    # byte-stable); forcing bf16 compute flips the auto
+    assert tr.loader.out_dtype is None
+    assert tr._loader_out_dtype() is None
+    tr.compute_dtype = jnp.bfloat16
+    assert tr._loader_out_dtype() == ml_dtypes.bfloat16
+    tr.loader.close()

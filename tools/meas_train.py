@@ -111,3 +111,57 @@ if which == "bench":
         "ms_per_step": round(best * 1e3, 1),
         "config": f"b{batch} remat={remat} act16={act is not None} "
                   "stem_train=on compute=bf16 metric_lag=3"}))
+
+# upload A/B (round 4): does the per-iteration host->device batch ship
+# sit on the training critical path over the tunnel, and does casting to
+# bf16 ON HOST (bit-identical: the stem casts to compute_dtype at the
+# first conv anyway) buy it back?  Feeds a FRESH host batch every
+# iteration like real training (bench above uses a device-resident
+# batch), same metric_lag=3 dispatch regime.
+if which == "upload":
+    import json
+    import ml_dtypes
+    from collections import deque
+
+    g = _g(608)
+    batch = 8
+    step = make_train_step(g, compute_dtype=jnp.bfloat16, remat=False,
+                           train_act_dtype=jnp.bfloat16)
+    tr = np.zeros((batch, 90, 5), np.float32); tr[:, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+    td = jax.device_put(tr)
+    # 4 distinct host batches cycled so no caching effects; pre-built so
+    # the loader cost isn't measured (the double buffer overlaps it)
+    xs_f32 = [rng_np.uniform(0, 1, (batch, 608, 608, 3)).astype(np.float32)
+              for _ in range(4)]
+    xs_bf16 = [x.astype(ml_dtypes.bfloat16) for x in xs_f32]
+
+    out = {"metric": "608 b8 train step with per-iter host batch upload"}
+    for name, xs in (("f32_upload", xs_f32), ("bf16_upload", xs_bf16)):
+        # fresh state per branch (step donates params/opt buffers)
+        p2 = jax.device_put(paramlib.init_params(g, seed=0))
+        o2 = jax.device_put(init_opt_state(g, p2))
+        # warmup/compile for this input dtype
+        p2, o2, c, m = step(p2, o2, jnp.asarray(xs[0]), td,
+                            jax.random.PRNGKey(0), 1e-4)
+        float(c)
+        best = 1e9
+        for _ in range(3):
+            pend = deque()
+            t0 = time.perf_counter()
+            n = 12
+            for i in range(n):
+                p2, o2, c, m = step(p2, o2, jnp.asarray(xs[i % 4]), td,
+                                    jax.random.PRNGKey(1), 1e-4)
+                pend.append(c)
+                if len(pend) > 3:
+                    float(pend.popleft())
+            while pend:
+                float(pend.popleft())
+            best = min(best, (time.perf_counter() - t0) / n)
+        out[name + "_ms"] = round(best * 1e3, 1)
+        out[name + "_img_s"] = round(batch / best, 1)
+        # host-cast cost for reference (overlappable in the loader)
+        t0 = time.perf_counter()
+        _ = xs_f32[0].astype(ml_dtypes.bfloat16)
+        out.setdefault("host_cast_ms", round((time.perf_counter() - t0) * 1e3, 1))
+    print(json.dumps(out))
