@@ -220,25 +220,46 @@ def _serving_mesh(args, batch: int):
     return mesh
 
 
+def _device_letterbox(net, frames_u8):
+    """Shared on-device letterbox: (N,H,W,C) uint8 RGB frames -> device
+    f32 [0,1] letterboxed batch; the compiled program is cached per input
+    geometry on the Network."""
+    from darknet_tpu.data.image import make_letterbox_device
+
+    _n, ih, iw, _c = frames_u8.shape
+    key = ("_lbx", ih, iw, net.net.w, net.net.h)
+    fn = getattr(net, "_lbx_cache", {}).get(key)
+    if fn is None:
+        fn = make_letterbox_device(ih, iw, net.net.w, net.net.h,
+                                   frames_u8.shape[3])
+        net._lbx_cache = {key: fn}
+    return fn(frames_u8)
+
+
 def _submit_frame(net, frame_bgr, args):
     """Streaming half 1: launch the device serving program for one frame
     WITHOUT blocking (JAX async dispatch) — the next frame's preprocess
     and the previous frame's draw/track/write overlap the device time.
-    Device-postprocess path only."""
+    Device-postprocess path only.
+
+    Frames travel host->device as RAW uint8 (1/4 the bytes of the f32
+    frame the round-3 path shipped; the batch-1 budget measured the 608
+    f32 upload alone at ~107 ms over the dev tunnel) and normalize on
+    device; with -letter_box the resize itself moves on device too, so
+    the upload is the camera-native frame."""
     import cv2
 
-    import jax.numpy as jnp
-
-    rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
     if getattr(args, "letter_box", False):
-        from darknet_tpu.data.image import letterbox_image
-
-        resized = letterbox_image(rgb, net.net.w, net.net.h)
+        x = _device_letterbox(net, np.ascontiguousarray(
+            frame_bgr[None, ..., ::-1]))
     else:
-        resized = cv2.resize(rgb, (net.net.w, net.net.h),
-                             interpolation=cv2.INTER_LINEAR)
-    return net.submit_detect_device(jnp.asarray(resized[None]),
-                                    thresh=args.thresh,
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        # uint8 resize (SIMD fixed-point) matches the f32 resize to
+        # interpolation-rounding tolerance; the accuracy-parity modes
+        # (image/valid) keep the f32 host path
+        x = cv2.resize(rgb, (net.net.w, net.net.h),
+                       interpolation=cv2.INTER_LINEAR)[None]
+    return net.submit_detect_device(x, thresh=args.thresh,
                                     nms=args.nms_thresh,
                                     top_k=getattr(args, "top_k", 256))
 
@@ -274,19 +295,20 @@ def _submit_frames_batch(net, frames_bgr, args):
     if letter and len(shapes) == 1:
         # all cameras share a resolution: letterbox ON DEVICE (the host
         # CPU resize is the multi-camera bottleneck); BGR->RGB is a
-        # device-side channel flip
-        from darknet_tpu.data.image import make_letterbox_device
-
-        ih, iw, c = frames_bgr[0].shape
-        key = ("_lbx", ih, iw, net.net.w, net.net.h)
-        fn = getattr(net, "_lbx_cache", {}).get(key)
-        if fn is None:
-            fn = make_letterbox_device(ih, iw, net.net.w, net.net.h, c)
-            net._lbx_cache = {key: fn}
-        # keep the result ON DEVICE: np.asarray here would block on the
-        # letterbox program + D2H and re-upload for the detect program,
-        # stalling the depth-1 pipeline with two extra transfers
-        x = fn(np.stack(frames_bgr)[..., ::-1])
+        # device-side channel flip.  The result stays ON DEVICE:
+        # np.asarray here would block on the letterbox program + D2H and
+        # re-upload for the detect program, stalling the depth-1
+        # pipeline with two extra transfers
+        x = _device_letterbox(net, np.stack(frames_bgr)[..., ::-1])
+    elif not letter and _use_device_nms(args):
+        # device path: uint8 resize + raw uint8 batch upload (1/4 the
+        # H2D bytes of f32); the serving program normalizes on device
+        # (see _submit_frame)
+        x = np.stack([
+            cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2RGB),
+                       (net.net.w, net.net.h),
+                       interpolation=cv2.INTER_LINEAR)
+            for f in frames_bgr])
     else:
         xs = []
         for frame in frames_bgr:

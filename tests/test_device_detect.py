@@ -149,3 +149,37 @@ def test_detect_batch_use_device_nms_delegates(rng):
     assert [len(v) for v in a] == [len(v) for v in b]
     for p, q in zip(a[0], b[0]):
         np.testing.assert_array_equal(np.asarray(p.prob), np.asarray(q.prob))
+
+
+def test_uint8_ingest_matches_f32(rng):
+    """Raw uint8 frames through the serving program (low-latency ingest:
+    1/4 the H2D bytes, normalize-on-device) agree with the host f32
+    astype/255 path.  XLA lowers the on-device /255 to a
+    reciprocal-multiply (1 ulp off the host divide), so agreement is
+    tolerance-level, not bit-level: matched candidates compare to 1e-3
+    and the detection count may flip by a few threshold-straddlers."""
+    cfg = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "yolov3-tiny.cfg")
+    net = Network.from_cfg(cfg, seed=5)
+    u8 = rng.integers(0, 256, (2, 416, 416, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    out_u8 = net.submit_detect_device(u8, thresh=0.3, nms=0.45, top_k=64)
+    out_f32 = net.submit_detect_device(f32, thresh=0.3, nms=0.45, top_k=64)
+    d_u8 = net.device_out_to_dets(*out_u8)
+    d_f32 = net.device_out_to_dets(*out_f32)
+    for la, lb in zip(d_u8, d_f32):
+        assert abs(len(la) - len(lb)) <= max(2, len(lb) // 10)
+        for a, b in zip(sorted(la, key=lambda d: -d.objectness),
+                        sorted(lb, key=lambda d: -d.objectness)):
+            np.testing.assert_allclose(a.bbox, b.bbox, rtol=1e-3, atol=1e-4)
+            assert abs(a.objectness - b.objectness) < 1e-3
+
+
+def test_uint8_ingest_shape_check():
+    cfg = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "yolov3-tiny.cfg")
+    net = Network.from_cfg(cfg, seed=5)
+    bad = np.zeros((1, 200, 416, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="input must be"):
+        net.submit_detect_device(bad)

@@ -55,18 +55,29 @@ def p50(fn, reps=30, warmup=2):
 
 out = {"mode": mode}
 
+
+def mark(msg):
+    print(f"[meas_latency] {msg}  partial={json.dumps(out)}",
+          file=sys.stderr, flush=True)
+
+
 # 1. tunnel floor: trivial program, scalar fetch
+mark("rtt floor")
 one = jax.device_put(jnp.float32(1.0))
 triv = jax.jit(lambda x: x + 1.0)
 _ = float(triv(one))
 out["rtt_floor_ms"] = round(p50(lambda: float(triv(one))), 2)
 
+mark(f"rtt_floor={out['rtt_floor_ms']} ms; frame upload")
 # 2. frame upload: put + first-element fetch, minus the floor
 frame = rng.uniform(0, 1, (1, 608, 608, 3)).astype(np.float32)
 pick = jax.jit(lambda x: x[0, 0, 0, 0])
 _ = float(pick(jax.device_put(frame)))
 up = p50(lambda: float(pick(jax.device_put(frame))))
 out["upload_608_frame_ms"] = round(up - out["rtt_floor_ms"], 2)
+
+mark(f"upload={out['upload_608_frame_ms']} ms; building 608 net")
+
 
 # serving nets
 def make_net(size):
@@ -94,8 +105,10 @@ def serve_fn(net, size, top_k):
 net608 = make_net(608)
 x608 = jax.device_put(jnp.asarray(frame))
 
+mark("compiling 608 k256 serving program")
 run608 = serve_fn(net608, 608, 256)
 _ = float(run608(net608.params, x608)[3])
+mark("608 k256 compiled; timing full_sync")
 out["full_sync_608_k256_ms"] = round(
     p50(lambda: float(run608(net608.params, x608)[3])), 2)
 
@@ -111,6 +124,7 @@ def amortized(run, params, x, n=30):
 
 
 out["device_exec_608_ms"] = round(amortized(run608, net608.params, x608), 2)
+mark("e2e host frame")
 
 # e2e from a 720p host camera frame like the CLI video path: host resize
 # (resize_image_cv) + normalize -> submit -> materialize the top-k triple
@@ -132,6 +146,7 @@ except Exception as e:  # keep the budget even if the helper signature drifts
     out["e2e_host_frame_608_err"] = f"{type(e).__name__}: {str(e)[:120]}"
 
 # latency-mode candidates
+mark("compiling 608 k64")
 run_k64 = serve_fn(net608, 608, 64)
 _ = float(run_k64(net608.params, x608)[3])
 out["full_sync_608_k64_ms"] = round(
@@ -139,6 +154,8 @@ out["full_sync_608_k64_ms"] = round(
 out["device_exec_608_k64_ms"] = round(
     amortized(run_k64, net608.params, x608), 2)
 
+mark("compiling 416 k64")
+sys.stderr.flush()
 net416 = make_net(416)
 x416 = jax.device_put(jnp.asarray(
     rng.uniform(0, 1, (1, 416, 416, 3)).astype(np.float32)))
