@@ -145,6 +145,31 @@ try:
 except Exception as e:  # keep the budget even if the helper signature drifts
     out["e2e_host_frame_608_err"] = f"{type(e).__name__}: {str(e)[:120]}"
 
+# uint8 ingest (the shipped low-latency streaming path): uint8 resize on
+# host, raw uint8 upload, normalize on device — 1/4 the H2D bytes
+import cv2
+
+
+def e2e_u8():
+    x = cv2.resize(img, (608, 608), interpolation=cv2.INTER_LINEAR)
+    sub = net608.submit_detect_device(x)
+    net608.device_out_to_dets(*sub)
+
+
+try:
+    e2e_u8()
+    out["e2e_u8_frame_608_ms"] = round(p50(e2e_u8, reps=15), 2)
+except Exception as e:
+    out["e2e_u8_frame_608_err"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+# bare uint8 upload for comparison with the f32 number
+u8frame = rng.integers(0, 256, (1, 608, 608, 3)).astype(np.uint8)
+_ = float(pick(jax.device_put(u8frame).astype(jnp.float32)))
+out["upload_608_u8_frame_ms"] = round(
+    p50(lambda: float(pick(jax.device_put(u8frame).astype(jnp.float32))))
+    - out["rtt_floor_ms"], 2)
+mark("u8 done; latency-mode candidates")
+
 # latency-mode candidates
 mark("compiling 608 k64")
 run_k64 = serve_fn(net608, 608, 64)
