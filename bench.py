@@ -83,6 +83,10 @@ def main():
     # CLI's `-mode bench` dispatch leaves "bench" in argv)
     args = [a for a in sys.argv[1:]
             if not a.startswith("-") and a.isdigit()]
+    # training is the reference's primary workload (detector.cpp:27-324);
+    # bank it in the driver line every round so a regression is visible
+    # (VERDICT r4 #2).  --no-train skips it (serving-only iteration).
+    with_train = "--no-train" not in sys.argv
     # headline config = production low-precision serving (int8 weights +
     # dynamic activation quant, head convs full precision) — the same
     # precision class TensorRT deployments of yolov4 report; --bf16
@@ -192,6 +196,53 @@ def main():
     _ = float(out[3])
     b1_amortized = (time.perf_counter() - t0) / 30 * 1000
 
+    train_img_s = train_img_s_blocking = None
+    if with_train:
+        # the committed one-chip 608 training recipe (NOTES round-4
+        # matrix: b8 no-remat act16 stem-on bf16), measured in BOTH
+        # dispatch regimes: metric_lag=3 (the trainer's TPU default —
+        # N steps in flight, loss fetched N behind) and blocking (one
+        # loss fetch per step — what a host without tunnel RTT sees at
+        # worst).  Reference anchor: detector.cpp:139-267 train loop.
+        from collections import deque
+
+        from darknet_tpu.train.step import init_opt_state, make_train_step
+
+        tb = 8
+        graph_t = build_graph(model_zoo.yolov4_cfg(size, size))
+        tp = jax.device_put(paramlib.init_params(graph_t, seed=0))
+        topt = jax.device_put(init_opt_state(graph_t, tp))
+        xt = jax.device_put(np.random.default_rng(1).uniform(
+            0, 1, (tb, size, size, 3)).astype(np.float32))
+        tr = np.zeros((tb, 90, 5), np.float32)
+        tr[:, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+        tr = jax.device_put(tr)
+        step = make_train_step(graph_t, compute_dtype=jnp.bfloat16,
+                               remat=False, train_act_dtype=jnp.bfloat16)
+        tp, topt, c, _m = step(tp, topt, xt, tr, jax.random.PRNGKey(0), 1e-4)
+        _ = float(c)  # compile + settle
+
+        def train_rate(lag, iters=12, series=3):
+            nonlocal tp, topt
+            best = 1e9
+            for _ in range(series):
+                pend = deque()
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    tp, topt, c, _m = step(tp, topt, xt, tr,
+                                           jax.random.PRNGKey(1), 1e-4)
+                    pend.append(c)
+                    if len(pend) > lag:
+                        float(pend.popleft())
+                while pend:
+                    float(pend.popleft())
+                best = min(best, (time.perf_counter() - t0) / iters)
+            return tb / best
+
+        train_img_s = train_rate(lag=3)
+        train_img_s_blocking = train_rate(lag=0)
+        del tp, topt, xt, tr
+
     line = {
         "metric": "yolov4-608 images/sec/chip "
                   + ("(bf16" if bf16_headline else "(int8")
@@ -205,6 +256,9 @@ def main():
     if bf16_img_s is not None:
         line["bf16_img_s"] = round(bf16_img_s, 2)
         line["bf16_vs_baseline"] = round(bf16_img_s / BASELINE_IMG_S, 4)
+    if train_img_s is not None:
+        line["train_608_img_s"] = round(train_img_s, 1)
+        line["train_608_img_s_blocking"] = round(train_img_s_blocking, 1)
     print(json.dumps(line))
 
 

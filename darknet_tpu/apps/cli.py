@@ -228,11 +228,15 @@ def _device_letterbox(net, frames_u8):
 
     _n, ih, iw, _c = frames_u8.shape
     key = ("_lbx", ih, iw, net.net.w, net.net.h)
-    fn = getattr(net, "_lbx_cache", {}).get(key)
+    cache = getattr(net, "_lbx_cache", None)
+    if cache is None:
+        cache = net._lbx_cache = {}
+    fn = cache.get(key)
     if fn is None:
-        fn = make_letterbox_device(ih, iw, net.net.w, net.net.h,
-                                   frames_u8.shape[3])
-        net._lbx_cache = {key: fn}
+        # insert (don't replace the dict): alternating input geometries
+        # on one Network must not evict each other's compiled programs
+        fn = cache[key] = make_letterbox_device(
+            ih, iw, net.net.w, net.net.h, frames_u8.shape[3])
     return fn(frames_u8)
 
 

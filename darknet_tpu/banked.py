@@ -1,0 +1,26 @@
+"""Banked performance numbers — the single source of truth for every
+gate/floor constant that derives from an on-chip measurement.
+
+Update these ONLY from an official measurement (bench.py /
+tools/meas_train.py on the real chip); each constant cites where the
+number was measured.  Tests import from here so the constants cannot
+silently diverge from the banked results (VERDICT r4 weak #3).
+"""
+
+# One-chip yolov4-608 training rate for the committed recipe
+# (b8 no-remat act16 stem-on bf16, metric_lag=3 dispatch regime) —
+# NOTES.md round-4: tools/meas_train.py bench = 74.5 ms/step.
+# The BLOCKING (one loss fetch per step, includes tunnel RTT) number
+# for the same recipe is 96.3 img/s; a production host co-located with
+# the chip sits between the two.
+TRAIN_608_IMG_S = 107.4
+TRAIN_608_IMG_S_BLOCKING = 96.3
+
+# Serving floors (bench.py official runs, BENCH_r04.json):
+# int8 headline 913.45 img/s = 1.142x, bf16 740.09 = 0.925x vs the
+# 800 img/s 2x-A100-TensorRT baseline.  The floor constants below are
+# what tests/test_bench_floors.py asserts against the newest
+# BENCH_r*.json so a silent regression fails CI (VERDICT r4 weak #4).
+SERVING_BASELINE_IMG_S = 800.0
+INT8_FLOOR_VS_BASELINE = 1.10
+BF16_FLOOR_VS_BASELINE = 1.00

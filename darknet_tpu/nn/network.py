@@ -463,7 +463,16 @@ class Network:
                 NamedSharding(mesh, P()))
 
     def _prep_input(self, image) -> np.ndarray:
-        x = np.asarray(image, dtype=np.float32)
+        # uint8 means raw [0,255] frames everywhere in the public API:
+        # submit_detect_device normalizes /255 on device, so the host
+        # paths (predict/detect/detect_batch) must apply the same
+        # normalization or the two paths silently disagree on the same
+        # image (advisor r4 finding)
+        raw = np.asarray(image)
+        if raw.dtype == np.uint8:
+            x = raw.astype(np.float32) / 255.0
+        else:
+            x = np.asarray(raw, dtype=np.float32)
         if x.ndim == 3:
             x = x[None]
         if x.shape[1:] != (self.net.h, self.net.w, self.net.c):

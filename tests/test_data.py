@@ -228,9 +228,12 @@ def test_loader_sustains_chip_train_rate(tmp_path):
 
     from darknet_tpu.data.synth import generate
 
-    # banked one-chip train rate: NOTES.md round-4 matrix (b8 no-remat
-    # act16 = 96.3 img/s).  Bump when the training bench improves.
-    CHIP_IMG_S = 96.3
+    # banked one-chip train rate: single source of truth in
+    # darknet_tpu.banked (updated from each official on-chip bench) —
+    # the gate must feed the rate the chip ACTUALLY trains at
+    from darknet_tpu.banked import TRAIN_608_IMG_S
+
+    CHIP_IMG_S = TRAIN_608_IMG_S
     WORKER_BUDGET = 16
 
     files = generate(str(tmp_path / "ds"), n_train=48, n_val=1, seed=99,

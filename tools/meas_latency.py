@@ -162,11 +162,15 @@ try:
 except Exception as e:
     out["e2e_u8_frame_608_err"] = f"{type(e).__name__}: {str(e)[:120]}"
 
-# bare uint8 upload for comparison with the f32 number
+# bare uint8 upload for comparison with the f32 number — the astype
+# folds INTO the jitted pick so both measurements have identical
+# dispatch structure (device_put + one jitted program + scalar fetch;
+# advisor r4 finding)
 u8frame = rng.integers(0, 256, (1, 608, 608, 3)).astype(np.uint8)
-_ = float(pick(jax.device_put(u8frame).astype(jnp.float32)))
+pick_u8 = jax.jit(lambda x: x.astype(jnp.float32)[0, 0, 0, 0])
+_ = float(pick_u8(jax.device_put(u8frame)))
 out["upload_608_u8_frame_ms"] = round(
-    p50(lambda: float(pick(jax.device_put(u8frame).astype(jnp.float32))))
+    p50(lambda: float(pick_u8(jax.device_put(u8frame))))
     - out["rtt_floor_ms"], 2)
 mark("u8 done; latency-mode candidates")
 
