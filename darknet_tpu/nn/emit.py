@@ -239,7 +239,9 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
             with jax.named_scope("L000-001_stem"):
                 stem_fn = lambda x, p0, p1: fused_stem_train(
                     x, p0, p1, layers[0], layers[1],
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype,
+                    res_dtype=(train_act_dtype if 1 not in head_feed
+                               else None))
                 if remat:
                     stem_fn = jax.checkpoint(stem_fn)
                 cur, st01 = stem_fn(cur, params[0], params[1])
@@ -303,13 +305,18 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                     aa_backref = _aa_backref_needed(l, i, live)
                     if aa_backref:
                         l_eff = _dc.replace(l_eff, antialiasing=0)
+                    # y_hat residual dtype for the fused BN+act epilogue:
+                    # reduced precision everywhere the interlayer act16
+                    # cast already applies (head-feeding convs stay f32)
+                    res_dt = train_act_dtype if i not in head_feed else None
                     if train and remat:
                         # trade FLOPs for HBM: recompute the conv block in the
                         # backward pass instead of storing its intermediates
                         block = jax.checkpoint(
                             lambda x, p, l_eff=l_eff: conv_block(
                                 x, p, l_eff, train=True,
-                                compute_dtype=compute_dtype))
+                                compute_dtype=compute_dtype,
+                                res_dtype=res_dt))
                         cur, st = block(cur, p)
                     elif not train and "w_q" in p:
                         from darknet_tpu.ops.conv import conv_block_int8
@@ -320,7 +327,8 @@ def make_forward(graph, *, train: bool = False, compute_dtype=None,
                         st = None
                     else:
                         cur, st = conv_block(cur, p, l_eff, train=train,
-                                             compute_dtype=compute_dtype)
+                                             compute_dtype=compute_dtype,
+                                             res_dtype=res_dt)
                     if st is not None:
                         bn_stats[i] = st
                     if aa_backref:

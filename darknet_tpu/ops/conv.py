@@ -150,13 +150,18 @@ def conv_block_int8(x, p, l, *, compute_dtype=jnp.bfloat16):
     return y
 
 
-def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
+def conv_block(x, p, l, *, train: bool = False, compute_dtype=None,
+               res_dtype=None):
     """Full darknet conv layer: conv, then BN or bias, then activation.
 
     `p` is the layer's param dict ({"w","b"[,"scales","mean","var"]}).
     `l` is its ConvIR.  Returns (y, bn_stats) where bn_stats is
     (batch_mean, batch_var) when train and batch_normalize, else None —
     the caller threads them into rolling-stat updates.
+
+    res_dtype (train+BN only): dtype of the single y_hat residual the
+    fused epilogue backward stores (ops/train_epilogue.py) — bf16 under
+    act16 halves the dominant residual traffic; None keeps f32.
     """
     padding = darknet_conv_padding(
         l.size, l.pad, l.dilation, (l.h, l.w), (l.stride_y, l.stride_x),
@@ -169,16 +174,30 @@ def conv_block(x, p, l, *, train: bool = False, compute_dtype=None):
         x, p["w"], stride=(l.stride_y, l.stride_x), padding=padding,
         dilation=(l.dilation, l.dilation), groups=l.groups,
         compute_dtype=compute_dtype, out_dtype=out_dtype)
-    if train and compute_dtype is not None:
+    # act16 fast path (keep_lp): the conv output stays bf16 through the
+    # fused BN+act epilogue — the f32 copy of every conv output (and its
+    # f32 dy cotangent) never exists in HBM; stats still accumulate f32
+    keep_lp = (train and res_dtype is not None and compute_dtype is not None
+               and l.batch_normalize and "scales" in p)
+    if train and compute_dtype is not None and not keep_lp:
         y = y.astype(jnp.float32)
 
     bn_stats = None
     if l.batch_normalize and "scales" in p:
         if train:
-            mean, var = batch_mean_var(y, axes=(0, 1, 2))
-            bn_stats = (mean, var)
-        else:
-            mean, var = p["mean"], p["var"]
+            # fused BN+act epilogue with custom VJP: the backward stores
+            # ONE y_hat residual (at res_dtype) instead of the ~2
+            # full-size f32 tensors plain autodiff saves — the dominant
+            # HBM cost of the 608² train step (ops/train_epilogue.py)
+            from darknet_tpu.ops.train_epilogue import bn_act_train
+
+            y, bn_stats = bn_act_train(
+                l.activation, 1, res_dtype if keep_lp else None,
+                res_dtype, y, p["scales"], p["b"])
+            if getattr(l, "antialiasing", 0):
+                y = antialias_blur(y, l)
+            return y, bn_stats
+        mean, var = p["mean"], p["var"]
         inv_std = lax.rsqrt(var + BN_EPS)
         y = (y - mean) * inv_std * p["scales"] + p["b"]
     else:

@@ -868,28 +868,32 @@ def _run_steps_xla(params, slots, steps, cd, *, train: bool = False,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision,
             preferred_element_type=out_dtype)
-        if cd != jnp.float32:
+        keep_lp = step.bn and act_dtype is not None and cd != jnp.float32
+        if cd != jnp.float32 and not keep_lp:
             y = y.astype(jnp.float32)
-        n = step.n
         beta = jnp.asarray(step.b_fn(params), jnp.float32)
-        st = None
         if step.bn:
-            m2 = jnp.mean(y, axis=(0, 1, 2))                  # (2N,)
-            mean = 0.5 * (m2[:n] + m2[n:])
-            dev = jnp.sum(jnp.square(y - jnp.tile(mean, 2)), axis=(0, 1, 2))
-            cnt = y.shape[0] * y.shape[1] * y.shape[2] * 2
-            var = (dev[:n] + dev[n:]) / max(cnt - 1, 1)
-            st = (mean, var)
-            inv = lax.rsqrt(var + BN_EPS)
+            # fused BN+act epilogue, phases=2 (the packed lanes hold
+            # [phase0 C | phase1 C]): custom VJP stores one y_hat
+            # residual at act_dtype instead of the f32 pre-normalize +
+            # pre-activation tensors — the region backward measured 3.3x
+            # its forward under plain autodiff (ops/train_epilogue.py).
+            # Under act16 the conv output itself stays bf16 (keep_lp):
+            # the full-resolution f32 tensor never exists in HBM, stats
+            # accumulate f32 inside a convert-fused reduce, and the
+            # backward emits the dy cotangent in bf16 — trace-measured,
+            # the f32 materialization + f32 dy writes dominated the
+            # region's backward
+            from darknet_tpu.ops.train_epilogue import bn_act_train
+
             scales = jnp.asarray(step.s_fn(params), jnp.float32)
-            y = (y - jnp.tile(mean, 2)) * jnp.tile(inv * scales, 2) \
-                + jnp.tile(beta, 2)
-        else:
-            y = y + jnp.concatenate([beta, beta])
+            return bn_act_train(step.act, 2, act_dtype, act_dtype,
+                                y, scales, beta)
+        y = y + jnp.concatenate([beta, beta])
         y = apply_activation(y, step.act)
         if act_dtype is not None:
             y = y.astype(act_dtype)
-        return y, st
+        return y, None
 
     for step in steps:
         if isinstance(step, AddStep):

@@ -38,45 +38,69 @@ from darknet_tpu.ops.conv import antialias_blur
 # ties are measure-zero and PARITY.md documents the deviation).
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _maxpool_s1(x, size, lo, hi_h, hi_w):
+def _maxpool_s1_axis(x, axis, size, lo, hi):
+    """Stride-1 max over a 1-D window along `axis` (1=H, 2=W)."""
     neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+    dims = [1, 1, 1, 1]
+    dims[axis] = size
+    pad = [(0, 0)] * 4
+    pad[axis] = (lo, hi)
     return lax.reduce_window(
         x, neg_inf, lax.max,
-        window_dimensions=(1, size, size, 1),
+        window_dimensions=tuple(dims),
         window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (lo, hi_h), (lo, hi_w), (0, 0)))
+        padding=tuple(pad))
 
 
-def _maxpool_s1_fwd(x, size, lo, hi_h, hi_w):
-    y = _maxpool_s1(x, size, lo, hi_h, hi_w)
+def _maxpool_s1_axis_fwd(x, axis, size, lo, hi):
+    y = _maxpool_s1_axis(x, axis, size, lo, hi)
     return y, (x, y)
 
 
-def _maxpool_s1_bwd(size, lo, hi_h, hi_w, res, g):
+def _maxpool_s1_axis_bwd(axis, size, lo, hi, res, g):
     x, y = res
-    b, h, w, c = x.shape
-    # window a covers padded rows a..a+size-1; input row i (= padded row
-    # i+lo) is in windows a = i+lo-oy, oy in [0, size).  Pad g and y so
-    # every (i, oy) lands in-range: padded index i + (size-1-oy).
-    top = size - 1 - lo
-    bot = h + lo - y.shape[1]
-    left = size - 1 - lo
-    right = w + lo - y.shape[2]
-    gp = jnp.pad(g, ((0, 0), (top, bot), (left, right), (0, 0)))
-    yp = jnp.pad(y, ((0, 0), (top, bot), (left, right), (0, 0)))
+    n = x.shape[axis]
+    # window a covers padded positions a..a+size-1; input position i
+    # (= padded i+lo) is in windows a = i+lo-o, o in [0, size).  Pad g
+    # and y so every (i, o) lands in-range: padded index i + (size-1-o).
+    pre = size - 1 - lo
+    post = n + lo - y.shape[axis]
+    pad = [(0, 0)] * 4
+    pad[axis] = (pre, post)
+    gp = jnp.pad(g, pad)
+    yp = jnp.pad(y, pad)
     dx = jnp.zeros_like(x)
-    for oy in range(size):
-        for ox in range(size):
-            i0, j0 = size - 1 - oy, size - 1 - ox
-            ys = lax.slice(yp, (0, i0, j0, 0), (b, i0 + h, j0 + w, c))
-            gs = lax.slice(gp, (0, i0, j0, 0), (b, i0 + h, j0 + w, c))
-            # padded y is 0 where no window exists; gs is 0 there too, so
-            # a spurious x==0 match contributes nothing
-            dx = dx + gs * (x == ys).astype(g.dtype)
+    starts0 = [0, 0, 0, 0]
+    limits0 = list(x.shape)
+    for o in range(size):
+        i0 = size - 1 - o
+        starts = list(starts0)
+        limits = list(limits0)
+        starts[axis] = i0
+        limits[axis] = i0 + n
+        ys = lax.slice(yp, starts, limits)
+        gs = lax.slice(gp, starts, limits)
+        # padded y is 0 where no window exists; gs is 0 there too, so
+        # a spurious x==0 match contributes nothing
+        dx = dx + gs * (x == ys).astype(g.dtype)
     return (dx,)
 
 
-_maxpool_s1.defvjp(_maxpool_s1_fwd, _maxpool_s1_bwd)
+_maxpool_s1_axis.defvjp(_maxpool_s1_axis_fwd, _maxpool_s1_axis_bwd)
+
+
+def _maxpool_s1(x, size, lo, hi_h, hi_w):
+    """Separable stride-1 maxpool: max over the size x size rectangle ==
+    max over rows of the column-wise maxes.  Forward is exact (max is
+    associative); the backward runs 2*size shifted compare-FMAs instead
+    of the naive size^2 — the SPP block's 13x13 pool drops from 169 taps
+    to 26 (its serialized tap chain was 2.55 ms of the 72 ms yolov4-608
+    b8 train step).  Tie semantics: on an exact tie the cotangent routes
+    to every position matching the row-then-column max (the reference
+    routes to the first argmax; ties are measure-zero on conv outputs —
+    PARITY.md DEVIATIONS)."""
+    y = _maxpool_s1_axis(x, 1, size, lo, hi_h)
+    return _maxpool_s1_axis(y, 2, size, lo, hi_w)
 
 
 def maxpool(x, l, train: bool = False):

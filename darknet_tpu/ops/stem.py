@@ -164,7 +164,8 @@ def _packed_bn(y, p, phases: int):
     return y4.reshape(b, h, w, c), (mean, var)
 
 
-def fused_stem_train(x, p0, p1, l0, l1, *, compute_dtype=None):
+def fused_stem_train(x, p0, p1, l0, l1, *, compute_dtype=None,
+                     res_dtype=None):
     """Training-mode packed stem: layers 0 and 1 in S2D form with LIVE
     batch norm (unfused params), following conv_block's mixed-precision
     conventions (conv emits compute_dtype, BN/bias epilogue in f32, output
@@ -188,21 +189,46 @@ def fused_stem_train(x, p0, p1, l0, l1, *, compute_dtype=None):
         xs, w0p, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision, preferred_element_type=out_dtype)
-    y0 = y0.astype(jnp.float32)
+    # act16 fast path (keep_lp): the conv output stays bf16 — the f32
+    # (B,304,304,128) tensor (378 MB at b8/608) never exists in HBM; the
+    # fused epilogue accumulates stats in f32 and emits bf16 cotangents
+    keep_lp = (res_dtype is not None and compute_dtype is not None
+               and compute_dtype != jnp.float32)
     if l0.batch_normalize and "scales" in p0:
-        y0, bn_stats[0] = _packed_bn(y0, p0, 4)
+        if not keep_lp:
+            y0 = y0.astype(jnp.float32)
+        # fused BN+act epilogue (custom VJP, ops/train_epilogue.py):
+        # stores one y_hat residual at res_dtype instead of the f32
+        # BN/activation internals — the packed stem tensors are the
+        # largest in the net, so their residuals dominated the backward
+        from darknet_tpu.ops.train_epilogue import bn_act_train
+
+        y0, bn_stats[0] = bn_act_train(
+            l0.activation, 4, res_dtype if keep_lp else None, res_dtype,
+            y0,
+            jnp.asarray(p0["scales"], jnp.float32),
+            jnp.asarray(p0["b"], jnp.float32))
     else:
+        y0 = y0.astype(jnp.float32)
         y0 = y0 + jnp.tile(jnp.asarray(p0["b"], jnp.float32), 4)
-    y0 = apply_activation(y0, l0.activation)
+        y0 = apply_activation(y0, l0.activation)
 
     y1 = lax.conv_general_dilated(
         y0.astype(cd), w1p, (1, 1), ((1, 0), (1, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision, preferred_element_type=out_dtype)
-    y1 = y1.astype(jnp.float32)
     if l1.batch_normalize and "scales" in p1:
-        y1, bn_stats[1] = _packed_bn(y1, p1, 1)
+        if not keep_lp:
+            y1 = y1.astype(jnp.float32)
+        from darknet_tpu.ops.train_epilogue import bn_act_train
+
+        y1, bn_stats[1] = bn_act_train(
+            l1.activation, 1, res_dtype if keep_lp else None, res_dtype,
+            y1,
+            jnp.asarray(p1["scales"], jnp.float32),
+            jnp.asarray(p1["b"], jnp.float32))
     else:
+        y1 = y1.astype(jnp.float32)
         y1 = y1 + jnp.asarray(p1["b"], jnp.float32)
-    y1 = apply_activation(y1, l1.activation)
+        y1 = apply_activation(y1, l1.activation)
     return y1, bn_stats

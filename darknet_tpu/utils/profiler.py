@@ -71,14 +71,19 @@ def trace_report(fn, *args, graph=None, iters: int = 5, log=print,
     scopes = _hlo_op_scopes(compiled.as_text())
 
     # run the AOT-compiled executable directly — calling jfn would compile
-    # a second time through the jit dispatch cache
+    # a second time through the jit dispatch cache.
+    # device_get (a real D2H fetch) instead of block_until_ready: over the
+    # axon tunnel block_until_ready returns EARLY, closing the trace with
+    # iterations still in flight and undercounting every op ~proportionally
+    # (observed 25 ms total for a 74.5 ms step).  The device queue is FIFO,
+    # so fetching the last call's outputs proves all prior calls ran.
     r = compiled(*args)                 # warm
-    jax.block_until_ready(r)
+    jax.device_get(r)
     tdir = trace_dir or tempfile.mkdtemp(prefix="dk_trace_")
     with jax.profiler.trace(tdir):
         for _ in range(iters):
             r = compiled(*args)
-        jax.block_until_ready(r)
+        jax.device_get(r)
 
     files = sorted(glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True))
     if not files:

@@ -264,8 +264,13 @@ def test_train_act_dtype_bf16_close_and_heads_stay_f32():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(b).all()
+        # tolerance covers the act16 fast path's BN statistics, which
+        # accumulate (in f32) from the bf16 conv output — the f32 copy of
+        # each conv output intentionally never exists (round-5 keep_lp
+        # epilogue), so stats carry bf16 input rounding (~0.4% per
+        # element) on top of the interlayer bf16 rounding
         np.testing.assert_allclose(b, a, rtol=0.1,
-                                   atol=0.02 * (np.abs(a).max() + 1e-6))
+                                   atol=0.08 * (np.abs(a).max() + 1e-6))
 
 
 import pytest
