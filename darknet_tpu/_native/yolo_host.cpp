@@ -92,8 +92,13 @@ void yolo_iou_matrix(const float* a, int n, const float* b, int m,
 // highest-IoU same-class GT with IoU > iou_thresh.
 //
 // dets: (nd,4), det_probs: (nd,nc); gt: (ng,5) [cls,x,y,w,h].
-// out rows are (prob, cid, gt_idx or -1) triplets appended per nonzero
-// class prob; returns count of rows written (caller sizes out to nd*nc*3).
+// out rows are (prob, cid, gt_idx or -1, best_iou) quads appended per
+// nonzero class prob; returns the count of rows written (caller sizes
+// out to nd*nc*4).  Because the argmax over {gt : iou > t} equals the
+// global argmax whenever the global max exceeds t, the quad computed at
+// iou_thresh=0 derives the match at EVERY threshold t as
+// (best_iou > t ? gt_idx : -1) — one pass serves the whole COCO
+// AP@[.5:.95] sweep (detector.cpp:388-424 re-matches per threshold).
 int yolo_match_dets(const float* dets, const float* det_probs, int nd, int nc,
                     const float* gt, int ng, float iou_thresh, float* out) {
   int rows = 0;
@@ -111,9 +116,10 @@ int yolo_match_dets(const float* dets, const float* det_probs, int nd, int nc,
           best = g;
         }
       }
-      out[rows * 3 + 0] = p;
-      out[rows * 3 + 1] = static_cast<float>(cid);
-      out[rows * 3 + 2] = static_cast<float>(best);
+      out[rows * 4 + 0] = p;
+      out[rows * 4 + 1] = static_cast<float>(cid);
+      out[rows * 4 + 2] = static_cast<float>(best);
+      out[rows * 4 + 3] = best_iou;
       ++rows;
     }
   }

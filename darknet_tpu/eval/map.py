@@ -150,31 +150,36 @@ def validate_detector(net, img_paths, classes: int, iou_thresh: float = 0.5,
 
                 d_boxes = np.asarray([d.bbox for d in dets], np.float32)
                 d_probs = np.stack([np.asarray(d.prob) for d in dets])
-                for t in sweep:
-                    rows = match_dets_native(d_boxes, d_probs, gt, t)
-                    if rows is not None:
-                        for prob, cid, gt_idx in rows:
-                            gi = int(gt_idx)
-                            val_boxes[t].append(
-                                (float(prob), int(cid), gi > -1,
-                                 num_gt + gi if gi > -1 else -1))
-                    else:
-                        for d in dets:
-                            probs = np.asarray(d.prob)
-                            for cid in np.nonzero(
-                                    np.abs(probs)
-                                    >= np.finfo(np.float32).eps)[0]:
-                                gt_idx, max_iou = -1, 0.0
-                                for k, row in enumerate(gt):
-                                    if int(row[0]) != cid:
-                                        continue
-                                    iou = _iou_single(d.bbox, row[1:5])
-                                    if iou > t and iou > max_iou:
-                                        max_iou = iou
-                                        gt_idx = num_gt + k
-                                val_boxes[t].append(
-                                    (float(probs[cid]), int(cid),
-                                     gt_idx > -1, gt_idx))
+                # ONE matching pass at iou_thresh=0 serves every
+                # threshold: the greedy match at t is the global
+                # argmax-IoU same-class GT, matched iff best_iou > t
+                # (detector.cpp:388-424 re-matches per threshold; the
+                # derivation is exact, see yolo_host.cpp).
+                rows = match_dets_native(d_boxes, d_probs, gt, 0.0)
+                if rows is None:
+                    rows = []
+                    for d in dets:
+                        probs = np.asarray(d.prob)
+                        for cid in np.nonzero(
+                                np.abs(probs)
+                                >= np.finfo(np.float32).eps)[0]:
+                            gt_idx, max_iou = -1, 0.0
+                            for k, row in enumerate(gt):
+                                if int(row[0]) != cid:
+                                    continue
+                                iou = _iou_single(d.bbox, row[1:5])
+                                if iou > max_iou:
+                                    max_iou = iou
+                                    gt_idx = k
+                            rows.append((float(probs[cid]), cid,
+                                         gt_idx, max_iou))
+                for prob, cid, gt_idx, best_iou in rows:
+                    gi = int(gt_idx)
+                    for t in sweep:
+                        ok = gi > -1 and best_iou > t
+                        val_boxes[t].append(
+                            (float(prob), int(cid), ok,
+                             num_gt + gi if ok else -1))
             num_gt += len(gt)
         if progress:
             print(f"\rCalculating mAP for {start + len(chunk)} samples...",

@@ -105,8 +105,10 @@ def nms_native(boxes: np.ndarray, probs: np.ndarray, thresh: float,
 
 def match_dets_native(dets: np.ndarray, det_probs: np.ndarray,
                       gt: np.ndarray, iou_thresh: float):
-    """Native greedy det->GT matching; returns (prob, cid, gt_idx) rows or
-    None if unavailable."""
+    """Native greedy det->GT matching; returns (prob, cid, gt_idx,
+    best_iou) rows or None if unavailable.  Matching at iou_thresh=0
+    serves every higher threshold: matched-at-t == best_iou > t with the
+    same gt_idx (see yolo_host.cpp)."""
     lib = load()
     if lib is None:
         return None
@@ -115,7 +117,7 @@ def match_dets_native(dets: np.ndarray, det_probs: np.ndarray,
     gt = np.ascontiguousarray(gt, dtype=np.float32)
     nd, nc = det_probs.shape
     ng = gt.shape[0]
-    out = np.zeros((nd * nc, 3), np.float32)
+    out = np.zeros((nd * nc, 4), np.float32)
     rows = lib.yolo_match_dets(_ptr(dets), _ptr(det_probs), nd, nc,
                                _ptr(gt), ng, iou_thresh, _ptr(out))
     return out[:rows]

@@ -61,7 +61,15 @@ def test_native_match_dets(lib, rng):
                    [1, 0.2, 0.2, 0.1, 0.1]],    # matches nothing
                   np.float32)
     rows = match_dets_native(dets, probs, gt, 0.5)
-    assert rows.shape[0] == 2
+    assert rows.shape == (2, 4)
     by_cid = {int(r[1]): r for r in rows}
     assert int(by_cid[0][2]) == 0          # det0 matched gt0
     assert int(by_cid[1][2]) == -1         # det1 unmatched
+    assert by_cid[0][3] > 0.5              # recorded IoU of the match
+    # one-pass sweep contract (eval/map.py): matching at t=0 yields the
+    # same gt_idx, and "matched at t" == best_iou > t
+    rows0 = match_dets_native(dets, probs, gt, 0.0)
+    by_cid0 = {int(r[1]): r for r in rows0}
+    assert int(by_cid0[0][2]) == 0
+    assert by_cid0[0][3] == by_cid[0][3]
+    assert (by_cid0[0][3] > 0.5) == (int(by_cid[0][2]) > -1)

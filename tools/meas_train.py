@@ -112,6 +112,30 @@ if which == "bench":
         "config": f"b{batch} remat={remat} act16={act is not None} "
                   "stem_train=on compute=bf16 metric_lag=3"}))
 
+# per-layer trace of the COMMITTED one-chip recipe (VERDICT r4 #1:
+# "re-trace the current step and rank the top 3 costs").  Usage:
+#   python tools/meas_train.py trace [top_n]
+if which == "trace":
+    from darknet_tpu.utils.profiler import trace_report
+    g = _g(608)
+    batch, remat, act = 8, False, jnp.bfloat16
+    x = rng_np.uniform(0, 1, (batch, 608, 608, 3)).astype(np.float32)
+    tr = np.zeros((batch, 90, 5), np.float32); tr[:, 0] = [0.3, 0.3, 0.2, 0.2, 1]
+    params = jax.device_put(paramlib.init_params(g, seed=0))
+    opt = jax.device_put(init_opt_state(g, params))
+    xd, td = jax.device_put(x), jax.device_put(tr)
+    # donate=False: trace_report replays the compiled call with the SAME
+    # argument buffers, which donation would delete after the first call.
+    step = make_train_step(g, compute_dtype=jnp.bfloat16, remat=remat,
+                           train_act_dtype=act, donate=False, jit=False)
+
+    def one(params, opt, x, tr):
+        p, o, c, m = step(params, opt, x, tr, jax.random.PRNGKey(1), 1e-4)
+        return c
+
+    top = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    trace_report(one, params, opt, xd, td, graph=g, iters=5, top=top)
+
 # upload A/B (round 4): does the per-iteration host->device batch ship
 # sit on the training critical path over the tunnel, and does casting to
 # bf16 ON HOST (bit-identical: the stem casts to compute_dtype at the
