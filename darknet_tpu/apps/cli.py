@@ -106,6 +106,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "for dense scenes at low -thresh")
     p.add_argument("-top_k", "--top_k", type=int, default=256,
                    help="device serving path: candidates kept per image")
+    p.add_argument("-pipeline_depth", "--pipeline_depth", type=int,
+                   default=2,
+                   help="video/multi-video: frames submitted to the "
+                        "device before the oldest is finalized (1 = the "
+                        "classic submit/finalize overlap; 2-3 hide the "
+                        "full device+transfer latency behind host work "
+                        "for throughput-mode streams).  Results are "
+                        "finalized strictly in order, so tracking "
+                        "semantics never change")
+    p.add_argument("-latency", "--latency", action="store_true",
+                   help="low-latency streaming preset: top_k=64 (the "
+                        "measured cheap point of the device NMS), "
+                        "pipeline_depth=1 (freshest result), uint8 "
+                        "frame ingest (already the streaming default). "
+                        "See tools/meas_latency.py for the budget")
     return p
 
 
@@ -564,23 +579,32 @@ def mode_video(args):
         curr += 1
 
     if _use_device_nms(args):
-        # depth-1 streaming pipeline: submit frame N's device program
-        # before materializing frame N-1's — the device computes while
-        # the host draws, tracks and writes, hiding device+transfer
-        # latency behind host work (results stay strictly in order, so
-        # tracking semantics are unchanged)
-        pending = None     # (frame, submitted-device-output, submit-secs)
+        # depth-N streaming pipeline (-pipeline_depth, default 2):
+        # submit up to N frames' device programs before materializing
+        # the oldest — the device computes while the host draws, tracks
+        # and writes, and at depth>=2 the device never drains while the
+        # host tail runs (results stay strictly in order, so tracking
+        # semantics are unchanged; the reference processes each frame
+        # start-to-finish sequentially, yolo_core.cpp:219-274)
+        from collections import deque
+
+        depth = max(1, getattr(args, "pipeline_depth", 2))
+        pending: "deque" = deque()   # (frame, device-output, submit-secs)
+        eof = False
         while True:
-            frame = frames_q.get()
-            if stop_evt.is_set():
-                frame = None               # ESC: finalize pending and stop
-            cur = None
-            if frame is not None:
-                t0 = time.perf_counter()
-                out = _submit_frame(net, frame, args)
-                cur = (frame, out, time.perf_counter() - t0)
-            if pending is not None:
-                pframe, pout, sub_dt = pending
+            if not eof:
+                frame = frames_q.get()
+                if stop_evt.is_set():
+                    frame = None           # ESC: finalize pending and stop
+                if frame is None:
+                    eof = True
+                else:
+                    t0 = time.perf_counter()
+                    out = _submit_frame(net, frame, args)
+                    pending.append((frame, out,
+                                    time.perf_counter() - t0))
+            while pending and (eof or len(pending) > depth):
+                pframe, pout, sub_dt = pending.popleft()
                 # proc time = submit (preprocess+dispatch) + finalize
                 # (residual device wait + host tail) — NOT the gap since
                 # submission, which would include waiting on the frame
@@ -590,8 +614,7 @@ def mode_video(args):
                                              track_manager=tm)
                 _emit(display,
                       (sub_dt + time.perf_counter() - t0) * 1000)
-            pending = cur
-            if frame is None:
+            if eof and not pending:
                 break
     else:
         while True:
@@ -699,25 +722,32 @@ def mode_multi_video(args):
         curr += 1
 
     if _use_device_nms(args):
-        # depth-1 streaming pipeline across frame sets (see mode_video):
-        # the next set's device program runs while this set's geo/track/
-        # write tail executes on host; set order is preserved
-        pending = None
+        # depth-N streaming pipeline across frame sets (see mode_video):
+        # up to -pipeline_depth sets' device programs run while this
+        # set's geo/track/write tail executes on host; set order is
+        # preserved
+        from collections import deque
+
+        depth = max(1, getattr(args, "pipeline_depth", 2))
+        pending: "deque" = deque()
+        eof = False
         while True:
-            frames = None if stop else _read_set()
-            t0 = time.perf_counter()
-            cur = None
-            if frames is not None:
-                cur = (frames, _submit_frames_batch(net, frames, args),
-                       time.perf_counter() - t0)
-            if pending is not None:
-                pframes, psub, sub_dt = pending
+            if not eof:
+                frames = None if stop else _read_set()
+                if frames is None:
+                    eof = True
+                else:
+                    t0 = time.perf_counter()
+                    pending.append(
+                        (frames, _submit_frames_batch(net, frames, args),
+                         time.perf_counter() - t0))
+            while pending and (eof or len(pending) > depth):
+                pframes, psub, sub_dt = pending.popleft()
                 t0 = time.perf_counter()
                 outs = _finalize_frames_batch(net, md, pframes, psub, args,
                                               track_managers=tms)
                 _tail(outs, (sub_dt + time.perf_counter() - t0) * 1000)
-            pending = cur
-            if frames is None:
+            if eof and not pending:
                 break
     else:
         while True:
@@ -743,6 +773,16 @@ def main(argv=None):
     import contextlib
 
     args = build_parser().parse_args(argv)
+    if getattr(args, "latency", False):
+        # low-latency preset (VERDICT r4 #3): the budget decomposition
+        # (tools/meas_latency.py) shows the batch-1 sync path is
+        # dominated by dispatch+fetch round trips; top_k=64 trims the
+        # D2H payload and the NMS rank predicate, depth 1 returns the
+        # freshest frame
+        parser = build_parser()
+        if args.top_k == parser.get_default("top_k"):
+            args.top_k = 64
+        args.pipeline_depth = 1
     with contextlib.ExitStack() as stack:
         if args.dbg_sync:
             # -cuda_dbg_sync analogue (dark_cuda.h:9): synchronous dispatch

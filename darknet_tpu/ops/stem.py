@@ -184,7 +184,11 @@ def fused_stem_train(x, p0, p1, l0, l1, *, compute_dtype=None,
     w1p = pack_w1(jnp.asarray(p1["w"])).astype(cd)
     bn_stats = {}
 
-    xs = space_to_depth(x).astype(cd)
+    # cast BEFORE the S2D transpose: the (608²,3)→(304²,12) interleave is
+    # a worst-case TPU relayout (tiny minor dims), so halving the bytes
+    # halves its cost; cast-then-rearrange is bit-identical to
+    # rearrange-then-cast
+    xs = space_to_depth(x.astype(cd))
     y0 = lax.conv_general_dilated(
         xs, w0p, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
