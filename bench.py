@@ -166,6 +166,21 @@ def main():
         0, 1, (batch, size, size, 3)).astype(np.float32)
     x = jax.device_put(x)
 
+    # tunnel-health stamp: p50 round trip of a trivial program.  The dev
+    # tunnel has degraded episodes (observed 2026-08-21: trivial add p50
+    # 24 ms and the serving program at ~65x its healthy time) — stamping
+    # the floor into the artifact lets consumers (tests/test_bench_floors)
+    # distinguish a transport outage from a code regression.
+    one = jax.device_put(jnp.float32(1.0))
+    triv = jax.jit(lambda v: v + 1.0)
+    _ = float(triv(one))
+    rtt = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        _ = float(triv(one))
+        rtt.append((time.perf_counter() - t0) * 1000)
+    tunnel_rtt_floor = sorted(rtt)[len(rtt) // 2]
+
     params = make_params(int8=not bf16_headline)
     run = make_run(params)
     img_s = measure_rate(run, params, x)
@@ -252,6 +267,7 @@ def main():
         "vs_baseline": round(img_s / BASELINE_IMG_S, 4),
         "p50_latency_ms_batch1_sync": round(p50, 2),
         "batch1_ms_amortized": round(b1_amortized, 2),
+        "tunnel_rtt_floor_ms": round(tunnel_rtt_floor, 2),
     }
     if bf16_img_s is not None:
         line["bf16_img_s"] = round(bf16_img_s, 2)

@@ -459,9 +459,12 @@ CFG_608 = CFG.replace("width=96", "width=608") \
 
 # Gaussian variant of the 608 multi-scale DP A/B (VERDICT r4 #6: "extend
 # the synthetic A/B to the Gaussian head at 608 multi-scale DP").  Head
-# channels 27→39 (8+1+classes per anchor), lr stays at the 608 gate's
-# 2e-4 (already 5x below the Gaussian 96px gate's 1e-3 — every probe
-# converges on both sides at this rate).
+# channels 27→39 (8+1+classes per anchor); lr stays at the 608 gate's
+# 2e-4.  The Gaussian NLL landscape is spiky (see GAUSSIAN_CFG): a
+# first 800-iter probe (2026-08-21) had the REFERENCE side produce
+# weights its own valid mode then segfaulted on (diverged/NaN head)
+# while our side trained fine — the diverged-reference retry in
+# _run_608_multiscale_dp_ab covers that mode.
 CFG_608_GAUSS = CFG_608.replace("""[convolutional]
 filters=27
 size=1
@@ -511,13 +514,29 @@ def _run_608_multiscale_dp_ab(harness, tmp_path, cfg_text, seed, label):
     assert tr._chart["maps"], "calc_map cadence never fired"
 
     # ---- reference side: its own loop at fixed 608 ----
+    # Retry the binary once if its run diverged: its thread-timing-
+    # dependent loader makes runs non-identical (data.cpp:721), and a
+    # diverged Gaussian run can produce NaN weights that its own valid
+    # mode then crashes on (observed: 608 Gaussian at lr 2e-4 — the
+    # binary's valid segfaulted on the binary's own trained weights).
     ref_w = str(tmp_path / "ref_final.weights")
     ref_losses_bin = str(tmp_path / "ref_losses.bin")
-    r = subprocess.run(
-        [harness, "trainloop", cfg_path, init_w, files["train_list"],
-         str(N), ref_w, ref_losses_bin],
-        capture_output=True, timeout=7200, cwd=BUILD_DIR)
-    assert r.returncode == 0, r.stderr[-800:]
+    for attempt in range(2):
+        r = subprocess.run(
+            [harness, "trainloop", cfg_path, init_w, files["train_list"],
+             str(N), ref_w, ref_losses_bin],
+            capture_output=True, timeout=7200, cwd=BUILD_DIR)
+        assert r.returncode == 0, r.stderr[-800:]
+        from darknet_tpu.weights.io import load_weights as _lw
+
+        refp, _, _ = _lw(tr.net.graph, ref_w)
+        finite = all(np.isfinite(np.asarray(a)).all()
+                     for lp in refp for a in lp.values())
+        if finite:
+            break
+        print(f"[{label}] reference-side run {attempt} diverged to "
+              "non-finite weights; retrying the binary once")
+    assert finite, "reference trainloop diverged on both attempts"
 
     ref_map = _ref_valid_map(harness, files["data"], cfg_path, ref_w,
                              str(tmp_path / "ref_map.bin"))

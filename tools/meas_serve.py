@@ -63,3 +63,38 @@ if which in ("all", "bench"):
     fn = net._device_detect_fn(B, 608, 608, 0.25, 0.45, 256,
                                score_dtype=jnp.bfloat16)
     timeit(fn, f"default serving b{B}")
+
+# per-layer trace of the BF16 (non-quantized) serving program — where the
+# 0.93x-vs-int8-1.14x gap lives (VERDICT r4 #4).  The int8 headline path
+# differs only in the tail convs; this names the layers to attack.
+#   python tools/meas_serve.py trace_bf16 [batch] [top]
+if which == "trace_bf16":
+    from darknet_tpu.utils.profiler import trace_report
+    from darknet_tpu.graph.builder import build_graph
+
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 35
+    net_bf = Network.from_cfg(cfg, seed=0)        # no int8
+    g = build_graph(cfg)
+    fn = net_bf._device_detect_fn(B, 608, 608, 0.25, 0.45, 256,
+                                  score_dtype=jnp.bfloat16)
+
+    def one(params, x):
+        tb, ov, probs = fn(params, x)
+        return jnp.sum(ov.astype(jnp.float32))
+
+    trace_report(one, net_bf.params, xd, graph=g, iters=3, top=top)
+
+if which == "trace_int8":
+    from darknet_tpu.utils.profiler import trace_report
+    from darknet_tpu.graph.builder import build_graph
+
+    top = int(sys.argv[3]) if len(sys.argv) > 3 else 35
+    g = build_graph(cfg)
+    fn = net._device_detect_fn(B, 608, 608, 0.25, 0.45, 256,
+                               score_dtype=jnp.bfloat16)
+
+    def one(params, x):
+        tb, ov, probs = fn(params, x)
+        return jnp.sum(ov.astype(jnp.float32))
+
+    trace_report(one, net.params, xd, graph=g, iters=3, top=top)
