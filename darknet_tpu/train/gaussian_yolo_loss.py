@@ -26,31 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from darknet_tpu.ops import boxes as boxops
-from darknet_tpu.train.yolo_loss import _nan0, dx_box_iou
+from darknet_tpu.train.yolo_loss import _FLT_EPS, _nan0, dx_box_iou
 
 _SIGMA_CONST = 0.3
 _EPSI = 1e-9
 _G = 9          # entries before classes: mux,sigx,muy,sigy,muw,sigw,muh,sigh,obj
-
-
-def _decode_pred_g(v, l, net_w, net_h):
-    h, w = v.shape[0], v.shape[1]
-    cols = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-    rows = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-    anchors = jnp.asarray(l.anchors, dtype=jnp.float32).reshape(-1, 2)
-    aw = anchors[jnp.asarray(l.mask), 0][None, None, :]
-    ah = anchors[jnp.asarray(l.mask), 1][None, None, :]
-    bw = jnp.exp(v[..., 4]) * aw / net_w
-    bh = jnp.exp(v[..., 6]) * ah / net_h
-    bx = (cols + v[..., 0]) / w
-    by = (rows + v[..., 2]) / h
-    if l.yolo_point == "left_top":
-        bx = bx + bw / 2
-        by = by + bh / 2
-    elif l.yolo_point == "right_bottom":
-        bx = bx - bw / 2
-        by = by - bh / 2
-    return jnp.stack([bx, by, bw, bh], axis=-1)
 
 
 def _gaussian_box_delta(truth, box_v, pred, l, net_w, net_h, anchor_idx,
@@ -127,20 +107,20 @@ def gaussian_yolo_head_delta(raw, truths, l, net_w: int, net_h: int):
     A = l.n
     v_raw = raw.reshape(b, h, w, A, e)
 
-    # activations (ForwardGaussianYoloLayer:491-517)
-    s = jax.nn.sigmoid
-    mu_x = s(v_raw[..., 0])
-    sig_x = s(v_raw[..., 1])
-    mu_y = s(v_raw[..., 2])
-    sig_y = s(v_raw[..., 3])
+    # activations (ForwardGaussianYoloLayer:491-517), computed on the raw
+    # (B,H,W,A*E) channel layout with a channel mask — the (...,A,E) view
+    # pads A=3->8 sublanes and E->128 lanes on TPU (see yolo_loss.py):
+    # sigmoid on {mux,sigx,muy,sigy, sigw, sigh, obj, classes}; muw/muh
+    # stay raw; scale_x_y affine on mux/muy
+    ch = np.arange(A * e) % e
+    m_sig = jnp.asarray((ch <= 3) | (ch == 5) | (ch == 7) | (ch >= 8))
+    s = jax.nn.sigmoid(raw)
+    v255 = jnp.where(m_sig, s, raw)
     if l.scale_x_y != 1.0:
-        mu_x = mu_x * l.scale_x_y - 0.5 * (l.scale_x_y - 1.0)
-        mu_y = mu_y * l.scale_x_y - 0.5 * (l.scale_x_y - 1.0)
-    objcls = s(v_raw[..., 8:])
-    v = jnp.concatenate(
-        [mu_x[..., None], sig_x[..., None], mu_y[..., None], sig_y[..., None],
-         v_raw[..., 4:5], s(v_raw[..., 5:6]), v_raw[..., 6:7],
-         s(v_raw[..., 7:8]), objcls], axis=-1)
+        m_xy = jnp.asarray((ch == 0) | (ch == 2))
+        v255 = jnp.where(
+            m_xy, v255 * l.scale_x_y - 0.5 * (l.scale_x_y - 1.0), v255)
+    v = v255.reshape(b, h, w, A, e)
 
     def per_item(v_i, vr_i, truth_i):
         return _gaussian_delta_single(v_i, vr_i, truth_i, l, net_w, net_h)
@@ -178,13 +158,26 @@ def gaussian_yolo_head_delta(raw, truths, l, net_w: int, net_h: int):
 
 
 def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
+    """Flat-N layout like yolo_loss._yolo_delta_single: (T,N) background
+    IoU lattice, baked grid/anchor constants, one packed-state gather."""
     h, w, A, e = v.shape
+    N = h * w * A
     T = truth.shape[0]
     classes = l.classes
     total = l.total
-    anchors = jnp.asarray(l.anchors, dtype=jnp.float32).reshape(-1, 2)
+    anchors_np = np.asarray(l.anchors, np.float32).reshape(-1, 2)
     cls_mults = (jnp.asarray(l.classes_multipliers, dtype=jnp.float32)
                  if l.classes_multipliers is not None else None)
+
+    vf = v.reshape(N, e)
+
+    n_idx = np.arange(N)
+    a_of = n_idx % A
+    mask_np = np.asarray(l.mask, np.int64)
+    cols = jnp.asarray(((n_idx // A) % w).astype(np.float32))
+    rows = jnp.asarray((n_idx // (A * w)).astype(np.float32))
+    awN = jnp.asarray(anchors_np[mask_np, 0][a_of])
+    ahN = jnp.asarray(anchors_np[mask_np, 1][a_of])
 
     tx = truth[:, 0:4]
     tcls = truth[:, 4].astype(jnp.int32)
@@ -196,14 +189,38 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
         tcls = jnp.asarray(l.class_map, jnp.int32)[
             jnp.clip(tcls, 0, len(l.class_map) - 1)]
 
-    pred = _decode_pred_g(v, l, net_w, net_h)
-    obj = _nan0(v[..., 8])
-    cls_prob = v[..., 9:]
+    # decode (GetGaussianYoloBox) as coordinate planes (N,)
+    pw = jnp.exp(vf[:, 4]) * awN / net_w
+    ph = jnp.exp(vf[:, 6]) * ahN / net_h
+    px = (cols + vf[:, 0]) / w
+    py = (rows + vf[:, 2]) / h
+    if l.yolo_point == "left_top":
+        px = px + pw / 2
+        py = py + ph / 2
+    elif l.yolo_point == "right_bottom":
+        px = px - pw / 2
+        py = py - ph / 2
+    obj = _nan0(vf[:, 8])
+    cls_prob = vf[:, 9:]                                     # (N,C)
 
-    # phase 1: objectness background
-    iou_all = boxops.iou(pred[:, :, :, None, :], tx[None, None, None, :, :])
-    iou_all = jnp.where(valid[None, None, None, :], iou_all, -1.0)
-    best_iou = jnp.maximum(jnp.max(iou_all, axis=-1), 0.0)
+    # phase 1: objectness background — (T,N) IoU lattice, ops mirroring
+    # boxes.iou exactly (see yolo_loss)
+    pl = px - pw / 2
+    pr = px + pw / 2
+    pt = py - ph / 2
+    pb = py + ph / 2
+    txx, tyy = tx[:, 0:1], tx[:, 1:2]                        # (T,1)
+    tww, thh = tx[:, 2:3], tx[:, 3:4]
+    iw = jnp.minimum(pr[None, :], txx + tww / 2) - \
+        jnp.maximum(pl[None, :], txx - tww / 2)
+    ih = jnp.minimum(pb[None, :], tyy + thh / 2) - \
+        jnp.maximum(pt[None, :], tyy - thh / 2)
+    inter = jnp.where((iw < 0) | (ih < 0), 0.0, iw * ih)     # (T,N)
+    un = (pw * ph)[None, :] + tww * thh - inter
+    safe = (jnp.abs(inter) >= _FLT_EPS) & (jnp.abs(un) >= _FLT_EPS)
+    iou_all = jnp.where(safe, inter / jnp.where(safe, un, 1.0), 0.0)
+    iou_all = jnp.where(valid[:, None], iou_all, -1.0)
+    best_iou = jnp.maximum(jnp.max(iou_all, axis=0), 0.0)    # (N,)
     any_cls = jnp.any(cls_prob > 0.25, axis=-1)
     best_match_iou = jnp.where(any_cls, best_iou, 0.0)
 
@@ -212,8 +229,7 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
     # (truth_thresh branch omitted: defaults to 1.0 in every known gaussian
     # cfg; phase 1 box/class deltas would mirror yolo_loss if enabled)
 
-    d_box = jnp.zeros((h, w, A, 8), jnp.float32)
-    d_cls = jnp.zeros((h, w, A, classes), jnp.float32)
+    d_cls = jnp.zeros((N, classes), jnp.float32)
     counters = {k: jnp.zeros((), jnp.float32) for k in (
         "count", "class_count", "iou", "obj", "cat", "recall50", "recall75")}
     counters["anyobj"] = jnp.sum(obj)
@@ -233,8 +249,8 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
     truth_shift = jnp.concatenate(
         [jnp.zeros((T, 2), jnp.float32), tx[:, 2:4]], axis=1)
     prior = jnp.concatenate(
-        [jnp.zeros((total, 2), jnp.float32),
-         anchors / jnp.asarray([net_w, net_h], jnp.float32)], axis=1)
+        [jnp.zeros((total, 2), jnp.float32), jnp.asarray(
+            anchors_np / np.asarray([net_w, net_h], np.float32))], axis=1)
     prior_iou = boxops.iou(prior[None, :, :], truth_shift[:, None, :])
     best_n = jnp.argmax(prior_iou, axis=1).astype(jnp.int32)
 
@@ -258,10 +274,18 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
     tj2 = tj[:, None] * jnp.ones((1, total), jnp.int32)
     ti2 = ti[:, None] * jnp.ones((1, total), jnp.int32)
 
-    pred_c = pred[tj2, ti2, a_idx]
-    box_v_c = v[tj2, ti2, a_idx, 0:8]
-    obj_c = obj[tj2, ti2, a_idx]
-    cls_p_c = cls_prob[tj2, ti2, a_idx]
+    # per-candidate cell state: ONE packed row-gather from flat N
+    cell = (tj2 * w + ti2) * A + a_idx                       # (T,total)
+    cell_flat = cell.reshape(-1)
+    state = jnp.concatenate(
+        [jnp.stack([px, py, pw, ph], axis=-1),               # 0:4  pred
+         vf[:, 0:8],                                         # 4:12 box_v
+         obj[:, None]], axis=-1)                             # 12   obj
+    st_c = state[cell_flat].reshape(T, total, 13)
+    pred_c = st_c[..., 0:4]
+    box_v_c = st_c[..., 4:12]
+    obj_c = st_c[..., 12]
+    cls_p_c = cls_prob[cell_flat].reshape(T, total, classes)
     cid2 = jnp.broadcast_to(tcls[:, None], (T, total))
 
     cmul_t = (cls_mults[tcls] if cls_mults is not None
@@ -284,20 +308,17 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
         [d_mu[..., 0], d_sig[..., 0], d_mu[..., 1], d_sig[..., 1],
          d_mu[..., 2], d_sig[..., 2], d_mu[..., 3], d_sig[..., 3]], axis=-1)
 
-    cell = (tj2 * w + ti2) * A + a_idx
     flat_add = jnp.where(apply[..., None], box_add, 0.0).reshape(-1, 8)
-    d_box = d_box + jax.ops.segment_sum(
-        flat_add, cell.reshape(-1), num_segments=h * w * A
-    ).reshape(h, w, A, 8)
+    d_box = jax.ops.segment_sum(flat_add, cell_flat,
+                                num_segments=N)              # (N,8)
 
     prio = (jnp.arange(T)[:, None] * total +
             jnp.arange(total)[None, :] + 1)
     prio = jnp.where(apply, prio, 0).reshape(-1)
-    win_prio = jax.ops.segment_max(prio, cell.reshape(-1),
-                                   num_segments=h * w * A)
-    cell_hit = (win_prio > 0).reshape(h, w, A)
+    win_prio = jax.ops.segment_max(prio, cell_flat, num_segments=N)
+    cell_hit = win_prio > 0                                  # (N,)
     win_idx = jnp.clip(win_prio - 1, 0, T * total - 1)
-    win_t = (win_idx // total).reshape(h, w, A)
+    win_t = win_idx // total
     win_cmul = cmul_t[win_t]
 
     d_obj = jnp.where(cell_hit,
@@ -306,13 +327,13 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
     class_onehot = jax.nn.one_hot(cid2, classes, dtype=jnp.float32)
     class_hit_flat = jax.ops.segment_sum(
         jnp.where(apply[..., None], class_onehot, 0.0).reshape(-1, classes),
-        cell.reshape(-1), num_segments=h * w * A)
-    class_hit = (class_hit_flat > 0).reshape(h, w, A, classes)
+        cell_flat, num_segments=N)
+    class_hit = class_hit_flat > 0                           # (N,C)
 
     eps_s = l.label_smooth_eps
     y1 = 1.0 * (1 - eps_s) + 0.5 * eps_s if eps_s else 1.0
     y0 = 0.5 * eps_s if eps_s else 0.0
-    mult_vec = (cls_mults[None, None, None, :]
+    mult_vec = (cls_mults[None, :]
                 if cls_mults is not None else 1.0)
     # NOTE the reference's "already" guard reads class entry 0; our
     # cell-wise rule is equivalent whenever entry 0's delta is set by the
@@ -335,9 +356,10 @@ def _gaussian_delta_single(v, v_raw, truth, l, net_w, net_h):
 
     # phase 3: class-count averaging over all 8 box entries
     n_cls_hit = jnp.sum((d_cls > 0).astype(jnp.float32), axis=-1,
-                        keepdims=True)
+                        keepdims=True)                       # (N,1)
     d_box = jnp.where(n_cls_hit > 0, d_box / jnp.maximum(n_cls_hit, 1.0),
                       d_box)
 
     delta = jnp.concatenate([d_box, d_obj[..., None], d_cls], axis=-1)
+    delta = delta.reshape(h, w, A, e)
     return delta, counters

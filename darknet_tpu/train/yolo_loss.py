@@ -177,21 +177,6 @@ def dx_box_iou(pred, truth, kind: str):
     return p_dx, p_dy, p_dw, p_dh
 
 
-def _decode_pred(v, l, net_w, net_h):
-    """(H,W,A,E) activated -> pred boxes (H,W,A,4), per GetYoloBox."""
-    h, w = v.shape[0], v.shape[1]
-    cols = jnp.arange(w, dtype=jnp.float32)[None, :, None]
-    rows = jnp.arange(h, dtype=jnp.float32)[:, None, None]
-    anchors = jnp.asarray(l.anchors, dtype=jnp.float32).reshape(-1, 2)
-    aw = anchors[jnp.asarray(l.mask), 0][None, None, :]
-    ah = anchors[jnp.asarray(l.mask), 1][None, None, :]
-    bx = (cols + v[..., 0]) / w
-    by = (rows + v[..., 1]) / h
-    bw = jnp.exp(v[..., 2]) * aw / net_w
-    bh = jnp.exp(v[..., 3]) * ah / net_h
-    return jnp.stack([bx, by, bw, bh], axis=-1)
-
-
 def _box_delta_terms(truth, pred, raw_wh, act_xy, cell_ij, l, net_w, net_h,
                      anchor_idx, scale, normalizer):
     """delta_yolo_box (yolo_layer.cpp:172-273), vectorized over any leading
