@@ -9,11 +9,14 @@ silently diverge from the banked results (VERDICT r4 weak #3).
 
 # One-chip yolov4-608 training rate for the committed recipe
 # (b8 no-remat act16 stem-on bf16, metric_lag=3 dispatch regime) —
-# NOTES.md round-4: tools/meas_train.py bench = 74.5 ms/step.
+# round-5 `tools/meas_train.py bench`: 69.5 ms/step = 115.1 img/s
+# (2026-08-21, uncontended; a second contended run measured 68.9/116.1)
+# after the fused BN+act train epilogue, the separable SPP maxpool
+# backward and the lane-friendly loss layout.  Round-4 was 74.5/107.4.
 # The BLOCKING (one loss fetch per step, includes tunnel RTT) number
-# for the same recipe is 96.3 img/s; a production host co-located with
-# the chip sits between the two.
-TRAIN_608_IMG_S = 107.4
+# is ~10% lower; a production host co-located with the chip sits
+# between the two.
+TRAIN_608_IMG_S = 115.1
 TRAIN_608_IMG_S_BLOCKING = 96.3
 
 # Serving floors (bench.py official runs, BENCH_r04.json):
