@@ -100,8 +100,17 @@ def test_pipeline_train_matches_accum_step(rng):
     got = pt.gather_params()
     for i, (a, b) in enumerate(zip(got, ref_p)):
         for k in b:
+            # atol 5e-5 (was 2e-5): the fused BN+act train epilogue's
+            # hand-written VJP (ops/train_epilogue.py) recomputes the
+            # activation gradient from y_hat, which rounds differently
+            # under the pipeline's stage slicing than under accum's
+            # whole-graph fusion — bisected to that commit, 4/36864
+            # weights at abs 3.6e-5 after 2 iters.  The epilogue's own
+            # gradient parity is gated in test_train_epilogue; this
+            # gate is about pipeline plumbing (a missing cross-stage
+            # cotangent shows as O(1) error, far above this band).
             np.testing.assert_allclose(
-                np.asarray(a[k]), np.asarray(b[k]), rtol=2e-4, atol=2e-5,
+                np.asarray(a[k]), np.asarray(b[k]), rtol=2e-4, atol=5e-5,
                 err_msg=f"layer {i} param {k}")
 
 
