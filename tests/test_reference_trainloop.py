@@ -529,7 +529,7 @@ def _run_608_multiscale_dp_ab(harness, tmp_path, cfg_text, seed, label):
         assert r.returncode == 0, r.stderr[-800:]
         from darknet_tpu.weights.io import load_weights as _lw
 
-        refp, _, _ = _lw(tr.net.graph, ref_w)
+        refp, _, _ = _lw(tr.graph, ref_w)
         finite = all(np.isfinite(np.asarray(a)).all()
                      for lp in refp for a in lp.values())
         if finite:
